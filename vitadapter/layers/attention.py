@@ -1,0 +1,105 @@
+"""Self-attention layers for the ViT backbone.
+
+Parity targets:
+  * `Attention` — reference `detection/mmdet_custom/models/backbones/base/vit.py:65-90`
+  * `WindowedAttention` — reference `base/vit.py:123-167` (the unfold/fold
+    variant: qkv is computed first, zero-padded to a window multiple, and the
+    softmax runs over the full window *including* zero-padded keys — we
+    reproduce that semantics exactly with reshape-based partitioning, which is
+    the TPU-friendly formulation of the same math).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """(B, H, W, C) -> (B, nWindows, ws*ws, C). H, W divisible by ws."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, (H // ws) * (W // ws), ws * ws, C)
+
+
+def window_reverse(x: jax.Array, ws: int, H: int, W: int) -> jax.Array:
+    """(B, nWindows, ws*ws, C) -> (B, H, W, C)."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    x = x.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def mha(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+        bias: jax.Array | None = None) -> jax.Array:
+    """Multi-head attention core over (..., heads, N, Dh) with fp32 softmax."""
+    attn = jnp.einsum("...hqd,...hkd->...hqk", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        attn = attn + bias
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("...hqk,...hkd->...hqd", attn, v)
+
+
+class Attention(nn.Module):
+    """Global MHSA over tokens (B, N, C)."""
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, H: int, W: int,
+                 deterministic: bool = True) -> jax.Array:
+        B, N, C = x.shape
+        Dh = C // self.num_heads
+        scale = Dh ** -0.5
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, Dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        out = mha(q, k, v, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class WindowedAttention(nn.Module):
+    """Non-overlapping window MHSA.
+
+    Zero-pads the *qkv projection output* up to a window multiple before
+    partitioning (reference semantics: padded keys enter the softmax with
+    logit 0 and value 0).
+    """
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+    window_size: int = 14
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, H: int, W: int,
+                 deterministic: bool = True) -> jax.Array:
+        B, N, C = x.shape
+        assert N == H * W
+        ws = self.window_size
+        Dh = C // self.num_heads
+        scale = Dh ** -0.5
+        H_ = math.ceil(H / ws) * ws
+        W_ = math.ceil(W / ws) * ws
+
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, H, W, C * 3)
+        qkv = jnp.pad(qkv, ((0, 0), (0, H_ - H), (0, W_ - W), (0, 0)))
+        qkv = window_partition(qkv, ws)  # (B, L, ws*ws, 3C)
+        L, Nw = qkv.shape[1], ws * ws
+        qkv = qkv.reshape(B, L, Nw, 3, self.num_heads, Dh)
+        q, k, v = (qkv[:, :, :, i].transpose(0, 1, 3, 2, 4) for i in range(3))
+        out = mha(q, k, v, scale)  # (B, L, heads, Nw, Dh)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, L, Nw, C)
+        out = window_reverse(out, ws, H_, W_)
+        out = out[:, :H, :W].reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
