@@ -1,0 +1,15 @@
+# 160k-iteration AdamW schedule (counterpart of mmseg `schedule_160k.py` with
+# the reference's LayerDecay optimizer overrides).
+optimizer = dict(
+    type="AdamW",
+    lr=12e-5,
+    betas=[0.9, 0.999],
+    weight_decay=0.01,
+    layer_decay_rate=0.95,
+)
+lr_config = dict(policy="poly", warmup_iters=1500, warmup_ratio=1e-6,
+                 power=1.0, min_lr=0.0)
+runner = dict(max_iters=160000)
+checkpoint_config = dict(interval=1000, max_keep_ckpts=1)
+evaluation = dict(interval=16000, metric="mIoU")
+log_config = dict(interval=50)

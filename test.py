@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint: `python test.py CONFIG CKPT --eval mIoU [--aug-test]`.
+
+Public API parity with the reference (`segmentation/test.py`): slide/whole
+inference per `test_cfg`, optional flip TTA, prints aAcc/mIoU/mAcc.
+Accepts either an orbax train-state directory or a torch .pth checkpoint
+(converted through `vitadapter.utils.checkpoint`).
+"""
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a model")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--eval", nargs="+", default=["mIoU"])
+    p.add_argument("--aug-test", action="store_true", help="flip TTA")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="+", default=None)
+    return p.parse_args()
+
+
+def load_variables(path: str, cfg):
+    if os.path.isdir(path):  # orbax train state
+        import jax
+
+        from vitadapter.builder import build_model
+        from vitadapter.data.preprocess import normalize
+        from vitadapter.train.optim import make_optimizer
+        from vitadapter.train.trainer import TrainState
+        from vitadapter.utils.checkpoint_io import restore_checkpoint
+        import jax.numpy as jnp
+
+        model = build_model(dict(cfg.model))
+        crop = tuple(cfg.data["crop_size"])
+        img = jnp.zeros((1, *crop, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k, x: model.init(k, x, with_aux=True))(
+                jax.random.PRNGKey(0), normalize(img))
+        tx, _ = make_optimizer(variables["params"])
+        template = TrainState.create(variables["params"],
+                                     variables["batch_stats"], tx)
+        state = restore_checkpoint(path, template)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    # torch checkpoint
+    import torch
+
+    from vitadapter.utils.checkpoint import convert_segmentor_checkpoint
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_segmentor_checkpoint(ckpt)
+
+
+def main():
+    args = parse_args()
+    from vitadapter.train.loop import build_dataset, run_eval
+    from vitadapter.utils.config import Config, parse_cfg_options
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(parse_cfg_options(args.cfg_options))
+    variables = load_variables(args.checkpoint, cfg)
+    dataset = build_dataset(cfg.data, "val")
+    run_eval(cfg, variables, dataset, aug_test=args.aug_test,
+             max_images=args.max_images)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,8 @@ TINY = dict(patch_size=16, embed_dim=48, depth=4, num_heads=4,
 def test_vit_adapter_forward_shapes():
     model = ViTAdapter(**TINY)
     x = jnp.zeros((2, 64, 96, 3))
-    vars_ = model.init(jax.random.PRNGKey(0), x)
-    feats = model.apply(vars_, x)
+    vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    feats = jax.jit(model.apply)(vars_, x)
     assert [f.shape for f in feats] == [
         (2, 16, 24, 48), (2, 8, 12, 48), (2, 4, 6, 48), (2, 2, 3, 48)]
     for f in feats:
@@ -92,7 +92,7 @@ def test_vit_adapter_forward_shapes():
 def test_vit_adapter_train_mode_and_grads():
     model = ViTAdapter(**TINY, drop_path_rate=0.1)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
-    vars_ = model.init(jax.random.PRNGKey(1), x, train=False)
+    vars_ = jax.jit(model.init)(jax.random.PRNGKey(1), x)
     params, batch_stats = vars_["params"], vars_["batch_stats"]
 
     def loss_fn(p):
@@ -101,7 +101,7 @@ def test_vit_adapter_train_mode_and_grads():
             mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
         return sum(jnp.mean(f**2) for f in feats)
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(v)).all() for v in flat)
     # injector gamma is zero-init, but gradients must flow to the ViT trunk

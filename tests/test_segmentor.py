@@ -105,9 +105,10 @@ def test_encoder_decoder_train_and_infer():
         auxiliary_head=FCNHead(num_classes=11, channels=16),
     )
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
-    vars_ = model.init(jax.random.PRNGKey(1), img)
+    vars_ = jax.jit(lambda k, x: model.init(k, x, with_aux=True))(
+        jax.random.PRNGKey(1), img)
     # inference
-    logits = model.apply(vars_, img)
+    logits = jax.jit(model.apply)(vars_, img)
     assert logits.shape == (1, 32, 32, 11)
     # training loss + grads
     labels = jnp.zeros((1, 32, 32), jnp.int32)
@@ -120,7 +121,7 @@ def test_encoder_decoder_train_and_infer():
         loss, logs = segmentation_loss(lg, ax, labels)
         return loss
 
-    loss, grads = jax.value_and_grad(loss_fn)(vars_["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(vars_["params"])
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))

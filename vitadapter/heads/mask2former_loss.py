@@ -1,0 +1,241 @@
+"""Mask2Former training loss: Hungarian-matched cls + point-sampled mask/dice.
+
+Parity targets (reference `segmentation/mmseg_custom/models/decode_heads/
+mask2former_head.py`):
+  * `get_targets` (:154) — per-image Hungarian assignment on costs computed at
+    `num_points` uniformly sampled mask points (cls 2.0 / BCE 5.0 / dice 5.0,
+    config `_base_/models/mask2former_beit.py` train_cfg)
+  * `loss_single` (:269) — CE with background weight 0.1 and
+    avg_factor = sum(class_weight[label]); mask BCE + naive dice on
+    12544 uncertainty-sampled points, normalized by the replica-mean number
+    of matched masks (`reduce_mean`)
+  * `ToMask` (reference `datasets/pipelines/formatting.py:53`) is re-designed
+    TPU-first: instead of materializing (G, H, W) binary masks, gt indicator
+    values are bilinearly sampled straight from the integer label map via
+    one-hot corner interpolation — same numerics, none of the memory.
+
+Static-shape discipline: gt classes are padded to `max_instances` with a
+validity mask; the LAP solve is a host callback (see `ops/matching.py`).
+"""
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vitadapter.ops.matching import (
+    bce_mask_cost,
+    classification_cost,
+    dice_cost,
+    hungarian_assign,
+)
+from vitadapter.ops.point_sample import (
+    get_uncertain_point_coords,
+    point_sample,
+)
+
+
+def present_classes(label_map: jax.Array, num_classes: int,
+                    max_instances: int) -> Tuple[jax.Array, jax.Array]:
+    """ToMask equivalent: per-image present class ids, padded.
+
+    label_map: (B, H, W) int32 with 255 = ignore.
+    Returns (labels (B, G) int32, valid (B, G) bool), G = max_instances.
+    """
+    B = label_map.shape[0]
+    onehot = jax.nn.one_hot(label_map.reshape(B, -1), num_classes,
+                            dtype=jnp.int32)
+    count = onehot.sum(axis=1)  # (B, K)
+    present = count > 0
+    # stable ordering: ascending class id (matches torch.unique in ToMask)
+    order = jnp.argsort(~present, axis=-1, stable=True)
+    labels = order[:, :max_instances].astype(jnp.int32)
+    valid = jnp.take_along_axis(present, order, axis=-1)[:, :max_instances]
+    return labels, valid
+
+
+def sample_gt_points(label_map: jax.Array, points: jax.Array,
+                     gt_labels: jax.Array) -> jax.Array:
+    """Bilinear gt-indicator values at normalized points, per gt class.
+
+    label_map: (B, H, W) int; points: (B, P, 2); gt_labels: (B, G)
+    returns (B, G, P) float in [0, 1] — identical to bilinear sampling of the
+    per-class binary mask (grid_sample align_corners=False, zeros padding).
+    """
+    B, H, W = label_map.shape
+    P = points.shape[1]
+    x = points[..., 0] * W - 0.5
+    y = points[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = label_map.reshape(B, H * W)
+    out = jnp.zeros((B, gt_labels.shape[1], P), jnp.float32)
+    for dx, dy, w in ((0, 0, (1 - lx) * (1 - ly)), (1, 0, lx * (1 - ly)),
+                      (0, 1, (1 - lx) * ly), (1, 1, lx * ly)):
+        xi = x0i + dx
+        yi = y0i + dy
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        lab = jnp.take_along_axis(flat, idx, axis=1)  # (B, P)
+        ind = (lab[:, None, :] == gt_labels[:, :, None])  # (B, G, P)
+        out = out + jnp.where(ind, (w * valid)[:, None, :], 0.0)
+    return out
+
+
+def _assign_layer(rng, cls_pred, mask_pred, label_map, gt_labels, gt_valid,
+                  num_points: int, cost_cls: float, cost_mask: float,
+                  cost_dice: float):
+    """Hungarian assignment for one decoder layer. Returns (B, Q) gt index or -1."""
+    B, Q = cls_pred.shape[:2]
+    G = gt_labels.shape[1]
+    coords = jax.random.uniform(rng, (B, num_points, 2))
+    # (B, Q, P): every query's mask sampled at the image's shared points
+    pred_pts = jax.vmap(
+        lambda m, c: point_sample(
+            m, jnp.broadcast_to(c[None], (m.shape[0],) + c.shape)))(
+        mask_pred, coords)
+    gt_pts = sample_gt_points(label_map, coords, gt_labels)
+
+    def per_image(cls_p, pr, gt, labels, valid):
+        c = classification_cost(cls_p, labels, cost_cls)
+        c += bce_mask_cost(pr, gt, cost_mask)
+        c += dice_cost(pr, gt, cost_dice)
+        return c
+
+    cost = jax.vmap(per_image)(cls_pred, pred_pts, gt_pts, gt_labels, gt_valid)
+    cost = jax.lax.stop_gradient(cost)
+    n_valid = gt_valid.sum(axis=-1).astype(jnp.int32)
+    return hungarian_assign(cost, n_valid)
+
+
+def loss_single_layer(
+    rng: jax.Array,
+    cls_pred: jax.Array,      # (B, Q, K+1)
+    mask_pred: jax.Array,     # (B, Q, h, w) logits
+    label_map: jax.Array,     # (B, H, W) int, 255 ignore
+    gt_labels: jax.Array,     # (B, G)
+    gt_valid: jax.Array,      # (B, G)
+    num_classes: int,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    bg_weight: float = 0.1,
+    loss_cls_weight: float = 2.0,
+    loss_mask_weight: float = 5.0,
+    loss_dice_weight: float = 5.0,
+) -> Dict[str, jax.Array]:
+    B, Q = cls_pred.shape[:2]
+    r_assign, r_pts = jax.random.split(rng)
+    assign = _assign_layer(r_assign, cls_pred, mask_pred, label_map,
+                           gt_labels, gt_valid, num_points,
+                           loss_cls_weight, loss_mask_weight, loss_dice_weight)
+    pos = assign >= 0  # (B, Q)
+    safe_idx = jnp.maximum(assign, 0)
+    labels = jnp.where(
+        pos, jnp.take_along_axis(gt_labels, safe_idx, axis=1), num_classes)
+
+    # --- classification CE with background down-weight ---
+    class_weight = jnp.concatenate(
+        [jnp.ones(num_classes), jnp.asarray([bg_weight])]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(cls_pred.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = class_weight[labels]
+    avg_factor = jnp.maximum(w.sum(), 1.0)
+    loss_cls = (nll * w).sum() / avg_factor * loss_cls_weight
+
+    # --- mask losses on matched queries ---
+    num_total_masks = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+    # uncertainty-sampled points per query (no grad through selection)
+    coords = get_uncertain_point_coords(
+        r_pts, jax.lax.stop_gradient(mask_pred).reshape(B * Q, *mask_pred.shape[2:]),
+        num_points, oversample_ratio, importance_sample_ratio)
+    coords = coords.reshape(B, Q, num_points, 2)
+    pred_pts = _sample_per_query(mask_pred, coords)
+    # gt indicator at the same points, for the assigned class of each query
+    q_labels = jnp.where(pos, labels, num_classes + 1)  # never matches ignore
+    gt_pts = _sample_gt_per_query(label_map, coords, q_labels)
+
+    pred_f = pred_pts.astype(jnp.float32)
+    gt_f = gt_pts.astype(jnp.float32)
+    # naive dice (reference DiceLoss naive_dice=True, eps=1)
+    pred_sig = jax.nn.sigmoid(pred_f)
+    numer = 2 * pred_sig * gt_f
+    dice = 1 - (numer.sum(-1) + 1.0) / (pred_sig.sum(-1) + gt_f.sum(-1) + 1.0)
+    loss_dice = jnp.where(pos, dice, 0.0).sum() / num_total_masks * loss_dice_weight
+    # point BCE, avg over (num_total_masks * num_points)
+    bce = jax.nn.softplus(pred_f) - pred_f * gt_f  # BCE-with-logits
+    bce = jnp.where(pos[..., None], bce, 0.0).sum()
+    loss_mask = bce / (num_total_masks * num_points) * loss_mask_weight
+
+    return {"loss_cls": loss_cls, "loss_mask": loss_mask,
+            "loss_dice": loss_dice}
+
+
+def _sample_per_query(mask_pred: jax.Array, coords: jax.Array) -> jax.Array:
+    """mask_pred (B, Q, h, w), coords (B, Q, P, 2) -> (B, Q, P)."""
+    B, Q, h, w = mask_pred.shape
+    P = coords.shape[2]
+    flat = mask_pred.reshape(B * Q, h, w)
+    pts = coords.reshape(B * Q, P, 2)
+    return point_sample(flat, pts).reshape(B, Q, P)
+
+
+def _sample_gt_per_query(label_map: jax.Array, coords: jax.Array,
+                         q_labels: jax.Array) -> jax.Array:
+    """Gt indicator of each query's class at its own points.
+
+    label_map (B, H, W); coords (B, Q, P, 2); q_labels (B, Q) -> (B, Q, P).
+    """
+    B, H, W = label_map.shape
+    Q, P = coords.shape[1:3]
+    x = coords[..., 0] * W - 0.5
+    y = coords[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = label_map.reshape(B, H * W)
+    out = jnp.zeros((B, Q, P), jnp.float32)
+    for dx, dy, w in ((0, 0, (1 - lx) * (1 - ly)), (1, 0, lx * (1 - ly)),
+                      (0, 1, (1 - lx) * ly), (1, 1, lx * ly)):
+        xi = x0i + dx
+        yi = y0i + dy
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        lab = jnp.take_along_axis(flat, idx.reshape(B, Q * P), axis=1)
+        lab = lab.reshape(B, Q, P)
+        ind = lab == q_labels[:, :, None]
+        out = out + jnp.where(ind & valid, w, 0.0)
+    return out
+
+
+def mask2former_loss(
+    rng: jax.Array,
+    cls_list: Sequence[jax.Array],
+    mask_list: Sequence[jax.Array],
+    label_map: jax.Array,
+    num_classes: int,
+    max_instances: int = 60,
+    **kwargs,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Sum of per-decoder-layer losses (reference `loss`:360-402: every layer
+    weighted equally, aux layers logged as d{i}.*)."""
+    gt_labels, gt_valid = present_classes(label_map, num_classes, max_instances)
+    total = 0.0
+    logs = {}
+    rngs = jax.random.split(rng, len(cls_list))
+    for i, (cls_p, mask_p) in enumerate(zip(cls_list, mask_list)):
+        out = loss_single_layer(rngs[i], cls_p, mask_p, label_map,
+                                gt_labels, gt_valid, num_classes, **kwargs)
+        total = total + out["loss_cls"] + out["loss_mask"] + out["loss_dice"]
+        if i == len(cls_list) - 1:
+            logs.update(out)
+        else:
+            logs.update({f"d{i}.{k}": v for k, v in out.items()})
+    return total, logs

@@ -1,0 +1,164 @@
+"""Hungarian (bipartite) matching for set-prediction losses.
+
+Parity target: `MaskHungarianAssigner`
+(reference `segmentation/mmseg_custom/models/utils/assigner.py:41`), which
+solves `scipy.optimize.linear_sum_assignment` on a cls+mask+dice cost matrix.
+
+TPU-native shape discipline: the cost matrix is static (Q, G_max) with a
+validity count; the LAP solve runs host-side through `jax.pure_callback`
+(exactly the reference's numerics — scipy on CPU) while everything around it
+stays compiled. A native C++ LAPJV solver can swap in behind the same
+interface.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _solve_batch(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """cost (B, Q, G), n_valid (B,) -> assigned gt index per query (B, Q), -1
+    for unassigned."""
+    from scipy.optimize import linear_sum_assignment
+
+    B, Q, G = cost.shape
+    out = np.full((B, Q), -1, np.int32)
+    for b in range(B):
+        n = int(n_valid[b])
+        if n <= 0:
+            continue
+        c = np.nan_to_num(np.asarray(cost[b, :, :n], np.float64),
+                          nan=1e8, posinf=1e8, neginf=-1e8)
+        rows, cols = linear_sum_assignment(c)
+        out[b, rows] = cols
+    return out
+
+
+def hungarian_assign(cost: jax.Array, n_valid: jax.Array,
+                     impl: str = "auto") -> jax.Array:
+    """Batched LAP under jit. cost (B, Q, G) fp32, n_valid (B,) int32.
+
+    Returns (B, Q) int32: matched gt index or -1.
+
+    impl:
+      'callback' — scipy on host via pure_callback (exact reference numerics;
+                   unavailable on the axon TPU backend, which rejects host
+                   callbacks).
+      'auction'  — device-native epsilon-scaled auction (Bertsekas); fully
+                   compiled, deterministic, no host round-trip. Assignment is
+                   optimal up to the final epsilon (scaled below the gap that
+                   changes matches in practice).
+      'auto'     — callback on CPU, auction on TPU.
+    """
+    if impl == "auto":
+        impl = "callback" if jax.default_backend() == "cpu" else "auction"
+    if impl == "callback":
+        B, Q, _ = cost.shape
+        return jax.pure_callback(
+            _solve_batch,
+            jax.ShapeDtypeStruct((B, Q), jnp.int32),
+            cost.astype(jnp.float32), n_valid.astype(jnp.int32),
+            vmap_method="sequential",
+        )
+    if impl == "auction":
+        return jax.vmap(auction_assign)(cost.astype(jnp.float32),
+                                        n_valid.astype(jnp.int32))
+    raise ValueError(impl)
+
+
+def auction_assign(cost: jax.Array, n_valid: jax.Array,
+                   n_rounds: int = 1, max_iters: int = 5000,
+                   eps_div: float = 2000.0) -> jax.Array:
+    """Single-image auction LAP on device. cost (Q, G) -> (Q,) col or -1.
+
+    Minimization via maximization of benefit = -cost. The smaller side (valid
+    gts) bids for queries, so a full matching always exists and the loop
+    terminates. A single round with eps = span/eps_div keeps the total
+    suboptimality below G*eps (epsilon-scaling restarts are unsound when
+    items outnumber bidders: stale prices push bidders onto free bad items).
+    """
+    Q, G = cost.shape
+    # The smaller side bids: gts (columns) bid for queries (rows). Every valid
+    # gt always ends matched (there are at least as many queries as gts), so
+    # no dummy items are needed and epsilon-scaling restarts are safe.
+    gt_ok = jnp.arange(G) < n_valid  # (G,) bidders
+    benefit = jnp.where(gt_ok[:, None], -cost.T, -jnp.inf)  # (G, Q)
+    span = jnp.maximum(
+        jnp.max(jnp.where(gt_ok[:, None], jnp.abs(cost.T), 0.0)), 1e-6)
+
+    def one_iter(state):
+        price, owner, it, eps = state  # price (Q,), owner (Q,) = gt or -1
+        gt_assigned = jnp.zeros((G,), bool).at[
+            jnp.where(owner >= 0, owner, G)].set(True, mode="drop")
+        bidding = gt_ok & ~gt_assigned
+        values = benefit - price[None, :]  # (G, Q)
+        best = jnp.argmax(values, axis=-1)
+        best_v = jnp.take_along_axis(values, best[:, None], axis=-1)[:, 0]
+        masked = values.at[jnp.arange(G), best].set(-jnp.inf)
+        second_v = jnp.max(masked, axis=-1)
+        second_v = jnp.where(jnp.isfinite(second_v), second_v, best_v - span)
+        bid = price[best] + (best_v - second_v) + eps
+        bid = jnp.where(bidding, bid, -jnp.inf)
+        item_bid = jnp.full((Q,), -jnp.inf).at[best].max(bid)
+        has_bid = item_bid > -jnp.inf
+        is_win = (best[None, :] == jnp.arange(Q)[:, None]) & \
+                 (bid[None, :] == item_bid[:, None])
+        winner = jnp.argmax(is_win, axis=-1).astype(jnp.int32)
+        new_owner = jnp.where(has_bid, winner, owner)
+        new_price = jnp.where(has_bid, item_bid, price)
+        return new_price, new_owner, it + 1, eps
+
+    def round_cond(state):
+        price, owner, it, eps = state
+        gt_assigned = jnp.zeros((G,), bool).at[
+            jnp.where(owner >= 0, owner, G)].set(True, mode="drop")
+        return jnp.any(gt_ok & ~gt_assigned) & (it < max_iters)
+
+    def run_round(carry, eps):
+        price, _ = carry
+        # keep prices, clear assignments (classic epsilon scaling)
+        owner = jnp.full((Q,), -1, jnp.int32)
+        price, owner, _, _ = jax.lax.while_loop(
+            round_cond, one_iter,
+            (price, owner, jnp.asarray(0, jnp.int32), eps))
+        return (price, owner), None
+
+    eps_schedule = jnp.full((n_rounds,), span / eps_div, jnp.float32)
+    price0 = jnp.zeros((Q,), jnp.float32)
+    owner0 = jnp.full((Q,), -1, jnp.int32)
+    (price, owner), _ = jax.lax.scan(run_round, (price0, owner0), eps_schedule)
+    return owner  # (Q,): owning gt index per query, -1 if unmatched
+
+
+def classification_cost(cls_logits: jax.Array, gt_labels: jax.Array,
+                        weight: float = 1.0) -> jax.Array:
+    """-softmax prob of each gt class (reference `match_costs` Classification-
+    Cost). cls_logits (Q, K+1), gt_labels (G,) -> (Q, G)."""
+    prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    return -prob[:, gt_labels] * weight
+
+
+def bce_mask_cost(pred_pts: jax.Array, gt_pts: jax.Array,
+                  weight: float = 1.0) -> jax.Array:
+    """Pairwise binary CE between predicted mask logits and binary gt masks at
+    sampled points (reference `CrossEntropyLossCost(use_sigmoid=True)`).
+    pred_pts (Q, P) logits, gt_pts (G, P) in {0,1} -> (Q, G)."""
+    P = pred_pts.shape[-1]
+    pred = pred_pts.astype(jnp.float32)
+    pos = jax.nn.softplus(-pred)          # -log sigmoid(x)
+    neg = jax.nn.softplus(pred)           # -log (1 - sigmoid(x))
+    cost = pos @ gt_pts.T.astype(jnp.float32) + neg @ (1 - gt_pts.T.astype(jnp.float32))
+    return cost / P * weight
+
+
+def dice_cost(pred_pts: jax.Array, gt_pts: jax.Array, weight: float = 1.0,
+              eps: float = 1.0) -> jax.Array:
+    """Pairwise naive-dice cost on sampled points (reference `DiceCost`
+    pred_act=True, naive_dice=True). (Q, P), (G, P) -> (Q, G)."""
+    p = jax.nn.sigmoid(pred_pts.astype(jnp.float32))
+    g = gt_pts.astype(jnp.float32)
+    numer = 2 * (p @ g.T)
+    denom = p.sum(-1)[:, None] + g.sum(-1)[None, :]
+    return (1 - (numer + eps) / (denom + eps)) * weight

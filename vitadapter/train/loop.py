@@ -1,0 +1,186 @@
+"""Config-driven training / evaluation loops for segmentation.
+
+Replaces the reference's mm runner stack (IterBasedRunner + hooks,
+`detection/train.py:88-188` flow): one jit-compiled data-parallel step over a
+device mesh, host-side data pipeline, periodic logging (lr / layer-0 lr / ETA
+/ data_time — reference `CustomizedTextLoggerHook`), orbax checkpoints, and a
+slide/whole-mode mIoU eval hook.
+"""
+
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitadapter.builder import build_model
+from vitadapter.data.datasets import DATASETS
+from vitadapter.data.metrics import confusion_matrix, miou_from_confusion
+from vitadapter.data.preprocess import normalize, pad_to_multiple
+from vitadapter.data import transforms as T
+from vitadapter.models.segmentor import flip_tta, slide_inference
+from vitadapter.parallel.mesh import make_mesh, replicate, shard_batch
+from vitadapter.train.optim import make_optimizer
+from vitadapter.train.trainer import TrainState, make_seg_train_step
+from vitadapter.utils.checkpoint_io import (latest_step, restore_checkpoint,
+                                            save_checkpoint)
+
+
+def build_dataset(data_cfg: Dict[str, Any], split: str):
+    ds_cls = DATASETS[data_cfg["dataset_type"]]
+    sub = data_cfg[split]
+    root = data_cfg.get("data_root", "")
+    return ds_cls(os.path.join(root, sub["img_dir"]),
+                  os.path.join(root, sub["ann_dir"]) if sub.get("ann_dir")
+                  else None)
+
+
+def train_batches(dataset, data_cfg, batch_size: int,
+                  seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.RandomState(seed)
+    crop = tuple(data_cfg["crop_size"])
+    scale = tuple(data_cfg["scale"])
+    rr = tuple(data_cfg.get("ratio_range", (0.5, 2.0)))
+    cmr = data_cfg.get("cat_max_ratio", 0.75)
+    n = len(dataset)
+    order = rng.permutation(n)
+    pos = 0
+    while True:
+        imgs, segs = [], []
+        for _ in range(batch_size):
+            if pos >= n:
+                order = rng.permutation(n)
+                pos = 0
+            img, seg = dataset.load(int(order[pos]))
+            pos += 1
+            img, seg = T.train_transform(rng, img, seg, crop, scale, rr, cmr)
+            imgs.append(img)
+            segs.append(seg)
+        yield {"image": np.stack(imgs).astype(np.float32),
+               "label": np.stack(segs).astype(np.int32)}
+
+
+def synthetic_batches(batch_size: int, crop, num_classes: int):
+    rng = np.random.RandomState(0)
+    while True:
+        yield {
+            "image": rng.randint(0, 256, (batch_size, *crop, 3)).astype(np.float32),
+            "label": rng.randint(0, num_classes,
+                                 (batch_size, *crop)).astype(np.int32),
+        }
+
+
+def run_training(cfg, work_dir: str, resume: bool = False,
+                 max_iters: Optional[int] = None, synthetic: bool = False,
+                 log_fn=print):
+    model = build_model(dict(cfg.model))
+    num_classes = cfg.model["decode_head"]["num_classes"]
+    crop = tuple(cfg.data["crop_size"])
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batch = cfg.data.get("samples_per_chip", 2) * n_dev
+    total = max_iters or cfg.runner["max_iters"]
+
+    init_img = jnp.zeros((batch, *crop, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, with_aux=True))(jax.random.PRNGKey(0),
+                                                      normalize(init_img))
+    opt = cfg.optimizer
+    tx, schedule = make_optimizer(
+        variables["params"], base_lr=opt["lr"],
+        weight_decay=opt["weight_decay"],
+        depth=cfg.model["backbone"]["depth"],
+        layer_decay_rate=opt.get("layer_decay_rate", 1.0),
+        total_steps=total, warmup_steps=cfg.lr_config.get("warmup_iters", 1500),
+        grad_clip=opt.get("grad_clip"))
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    state = replicate(mesh, state)
+
+    start = 0
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    if resume and latest_step(ckpt_dir) is not None:
+        start = latest_step(ckpt_dir)
+        state = restore_checkpoint(ckpt_dir, state)
+        log_fn(f"resumed from step {start}")
+
+    raw_step = make_seg_train_step(model, cfg.get("aux_loss_weight", 0.4))
+
+    def step_fn(state, image, label, rng):
+        img = normalize(image)
+        return raw_step(state, {"image": img, "label": label}, rng)
+
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+
+    if synthetic:
+        it = synthetic_batches(batch, crop, num_classes)
+    else:
+        ds = build_dataset(cfg.data, "train")
+        it = train_batches(ds, cfg.data, batch)
+
+    log_int = cfg.get("log_config", {}).get("interval", 50)
+    ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 1000)
+    rng = jax.random.PRNGKey(1)
+    t_last = time.perf_counter()
+    data_time = 0.0
+    for i in range(start, total):
+        t0 = time.perf_counter()
+        b = next(it)
+        sb = shard_batch(mesh, b)
+        data_time += time.perf_counter() - t0
+        rng, sub = jax.random.split(rng)
+        state, logs = jstep(state, sb["image"], sb["label"], sub)
+        if (i + 1) % log_int == 0:
+            logs = {k: float(v) for k, v in logs.items()}
+            dt = time.perf_counter() - t_last
+            eta = dt / log_int * (total - i - 1)
+            lr = float(schedule(i))
+            log_fn(f"iter {i+1}/{total} loss={logs['loss']:.4f} "
+                   f"lr={lr:.3e} time={dt/log_int:.3f}s "
+                   f"data_time={data_time/log_int:.3f}s "
+                   f"eta={eta/3600:.2f}h grad_norm={logs['grad_norm']:.2f}")
+            t_last = time.perf_counter()
+            data_time = 0.0
+        if (i + 1) % ckpt_int == 0 or (i + 1) == total:
+            save_checkpoint(ckpt_dir, i + 1, jax.device_get(state),
+                            cfg.get("checkpoint_config", {}).get(
+                                "max_keep_ckpts", 1))
+    return state
+
+
+def run_eval(cfg, variables, dataset, aug_test: bool = False,
+             max_images: Optional[int] = None, log_fn=print) -> Dict[str, float]:
+    """Slide/whole-mode mIoU evaluation (reference `test.py --eval mIoU`)."""
+    model = build_model(dict(cfg.model))
+    num_classes = cfg.model["decode_head"]["num_classes"]
+    mode = cfg.get("test_cfg", {}).get("mode", "whole")
+
+    @jax.jit
+    def crop_logits(img):
+        return model.apply(variables, normalize(img))
+
+    fn = crop_logits
+    if aug_test:
+        fn = flip_tta(crop_logits)
+
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    n = min(len(dataset), max_images or len(dataset))
+    for i in range(n):
+        img, seg = dataset.load(i)
+        x = jnp.asarray(img, jnp.float32)[None]
+        x, (H, W) = pad_to_multiple(x, 32)
+        if mode == "slide":
+            logits = slide_inference(fn, x, tuple(cfg.test_cfg["crop_size"]),
+                                     tuple(cfg.test_cfg["stride"]),
+                                     num_classes)
+        else:
+            logits = fn(x)
+        pred = jnp.argmax(logits[:, :H, :W], axis=-1)[0]
+        cm += np.asarray(confusion_matrix(pred, jnp.asarray(seg), num_classes))
+        if (i + 1) % 50 == 0:
+            log_fn(f"eval {i+1}/{n}")
+    metrics = miou_from_confusion(cm)
+    log_fn(f"aAcc {metrics['aAcc']*100:.2f} | mIoU {metrics['mIoU']*100:.2f} "
+           f"| mAcc {metrics['mAcc']*100:.2f}")
+    return metrics
