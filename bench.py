@@ -1,10 +1,19 @@
 """Benchmark: images/sec/chip for the flagship segmentor (BASELINE.json metric).
 
-Runs eval-mode forward (the serving path) of ViT-Adapter-L at ADE20K 512px on
-the available chip, bf16 activations, jit-compiled, preprocessing fused.
-Prints ONE JSON line. The reference publishes no throughput numbers
-(SURVEY §6) — the baseline constant below is this framework's first measured
-round-1 value, so vs_baseline tracks our own progress.
+Runs eval-mode forward (the serving path) of ViT-Adapter-L + Mask2Former at
+ADE20K 512px on the available chip, bf16 activations, jit-compiled,
+preprocessing fused. Prints ONE JSON line.
+
+Methodology notes (axon TPU tunnel):
+  * `block_until_ready` does NOT synchronize through the tunnel — only
+    materializing a value does, so the timer closes over a scalar fetch.
+  * each dispatch costs ~25 ms of tunnel latency, so N iterations run inside
+    one jit (`lax.fori_loop`, output-carried dependency so nothing is DCE'd)
+    and the n=1 cost is subtracted.
+
+The reference publishes no throughput numbers (SURVEY §6); the baseline
+anchor below is this framework's first measured round-1 value, so
+vs_baseline tracks our own progress.
 """
 
 import json
@@ -14,9 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# First measured value (round 1, TPU v5e single chip). Update only the metric
-# history, not this anchor.
-BASELINE_IMG_PER_SEC = None  # set after first TPU measurement
+# First measured value (round 1, ViT-Adapter-L Mask2Former 512px bf16 eval
+# forward, TPU v5e single chip via axon).
+BASELINE_IMG_PER_SEC = 13.35
 
 
 def build_flagship(dtype=jnp.bfloat16):
@@ -41,21 +50,29 @@ def main():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), normalize(raw, dtype=jnp.bfloat16))
 
-    @jax.jit
-    def forward(variables, raw):
-        img = normalize(raw, dtype=jnp.bfloat16)
+    def forward(variables, img):
         return model.apply(variables, img)
 
-    out = forward(variables, raw)
-    jax.block_until_ready(out)
-    # timed
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = forward(variables, raw)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    img_s = batch * n_iter / dt
+    def timed(n):
+        @jax.jit
+        def run(variables, raw):
+            def body(i, acc):
+                img = normalize(raw, dtype=jnp.bfloat16)
+                # acc-dependence serializes iterations and defeats DCE
+                img = img + (acc * 0).astype(img.dtype)
+                out = forward(variables, img)
+                return acc + out.astype(jnp.float32).mean()
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        float(run(variables, raw))  # compile + warm
+        t0 = time.perf_counter()
+        s = float(run(variables, raw))  # scalar fetch = real sync
+        assert np.isfinite(s)
+        return time.perf_counter() - t0
+
+    t1 = timed(1)
+    tn = timed(11)
+    per_iter = (tn - t1) / 10.0
+    img_s = batch / per_iter
 
     vs = 1.0 if BASELINE_IMG_PER_SEC is None else img_s / BASELINE_IMG_PER_SEC
     print(json.dumps({

@@ -1,0 +1,134 @@
+"""Box primitives: deltas, IoU, clipping, NMS — all static-shape, jit-native.
+
+Parity targets: mmdet `DeltaXYWHBBoxCoder` (means/stds, wh clamp),
+`bbox_overlaps`, and classic greedy NMS. Dynamic box counts become fixed
+budgets with validity masks (SURVEY §7 hard part 3): NMS is an O(N^2)
+mask-suppression sweep via `lax.scan` over score order — deterministic,
+MXU/VPU-friendly, no host sync.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# mmdet default target stds for RCNN / RPN
+RPN_STDS = (1.0, 1.0, 1.0, 1.0)
+RCNN_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
+def bbox_area(boxes: jax.Array) -> jax.Array:
+    return jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
+        jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
+
+
+def bbox_overlaps(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """IoU matrix (N, M) for xyxy boxes (mmdet `bbox_overlaps` semantics)."""
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = bbox_area(a)[..., :, None] + bbox_area(b)[..., None, :] - inter
+    return inter / jnp.maximum(union, eps)
+
+
+def bbox2delta(proposals: jax.Array, gt: jax.Array,
+               stds=RPN_STDS) -> jax.Array:
+    """Encode gt relative to proposals (mmdet bbox2delta, means=0)."""
+    pw = proposals[..., 2] - proposals[..., 0]
+    ph = proposals[..., 3] - proposals[..., 1]
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0]
+    gh = gt[..., 3] - gt[..., 1]
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    s = jnp.asarray(stds)
+    dx = (gx - px) / jnp.maximum(pw, 1e-6) / s[0]
+    dy = (gy - py) / jnp.maximum(ph, 1e-6) / s[1]
+    dw = jnp.log(jnp.maximum(gw, 1e-6) / jnp.maximum(pw, 1e-6)) / s[2]
+    dh = jnp.log(jnp.maximum(gh, 1e-6) / jnp.maximum(ph, 1e-6)) / s[3]
+    return jnp.stack([dx, dy, dw, dh], axis=-1)
+
+
+def delta2bbox(rois: jax.Array, deltas: jax.Array, stds=RPN_STDS,
+               max_shape: Optional[Tuple[int, int]] = None,
+               wh_ratio_clip: float = 16 / 1000) -> jax.Array:
+    """Decode deltas on rois (mmdet delta2bbox: wh clamp, optional clip)."""
+    s = jnp.asarray(stds)
+    dx, dy = deltas[..., 0] * s[0], deltas[..., 1] * s[1]
+    dw, dh = deltas[..., 2] * s[2], deltas[..., 3] * s[3]
+    max_ratio = jnp.abs(jnp.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+    pw = rois[..., 2] - rois[..., 0]
+    ph = rois[..., 3] - rois[..., 1]
+    px = (rois[..., 0] + rois[..., 2]) * 0.5
+    py = (rois[..., 1] + rois[..., 3]) * 0.5
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+    out = jnp.stack([gx - gw * 0.5, gy - gh * 0.5,
+                     gx + gw * 0.5, gy + gh * 0.5], axis=-1)
+    if max_shape is not None:
+        h, w = max_shape
+        out = jnp.stack([
+            jnp.clip(out[..., 0], 0, w), jnp.clip(out[..., 1], 0, h),
+            jnp.clip(out[..., 2], 0, w), jnp.clip(out[..., 3], 0, h)],
+            axis=-1)
+    return out
+
+
+def nms(boxes: jax.Array, scores: jax.Array, iou_thr: float,
+        max_out: int, valid: Optional[jax.Array] = None,
+        score_thr: float = -jnp.inf):
+    """Greedy NMS with a static output budget.
+
+    boxes (N, 4), scores (N,) -> (keep_boxes (max_out, 4),
+    keep_scores (max_out,), keep_idx (max_out,) int32 with -1 padding).
+    """
+    N = boxes.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, -jnp.inf)
+    scores = jnp.where(scores > score_thr, scores, -jnp.inf)
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    iou = bbox_overlaps(b, b)
+
+    def body(suppressed, i):
+        alive = ~suppressed[i] & jnp.isfinite(s[i])
+        kill = (iou[i] > iou_thr) & alive
+        kill = kill.at[i].set(False)
+        suppressed = suppressed | jnp.where(alive, kill, False)
+        return suppressed, alive
+
+    suppressed, alive = jax.lax.scan(body, jnp.zeros((N,), bool),
+                                     jnp.arange(N))
+    keep_mask = alive & jnp.isfinite(s)
+    # stable-select kept entries to the front
+    rank = jnp.cumsum(keep_mask) - 1
+    keep_idx = jnp.full((max_out,), -1, jnp.int32)
+    keep_idx = keep_idx.at[jnp.where(keep_mask, rank, max_out)].set(
+        order.astype(jnp.int32), mode="drop")
+    kept = keep_idx >= 0
+    safe = jnp.maximum(keep_idx, 0)
+    out_boxes = jnp.where(kept[:, None], boxes[safe], 0.0)
+    out_scores = jnp.where(kept, scores[safe], -jnp.inf)
+    return out_boxes, out_scores, keep_idx
+
+
+def batched_nms(boxes: jax.Array, scores: jax.Array, labels: jax.Array,
+                iou_thr: float, max_out: int,
+                valid: Optional[jax.Array] = None,
+                score_thr: float = -jnp.inf):
+    """Class-aware NMS via the coordinate-offset trick (mmdet batched_nms)."""
+    offset = labels.astype(boxes.dtype)[:, None] * (boxes.max() + 1.0)
+    ob, os_, keep_idx = nms(boxes + offset, scores, iou_thr, max_out, valid,
+                            score_thr)
+    kept = keep_idx >= 0
+    safe = jnp.maximum(keep_idx, 0)
+    out_boxes = jnp.where(kept[:, None], boxes[safe], 0.0)
+    out_labels = jnp.where(kept, labels[safe], -1)
+    return out_boxes, os_, out_labels, keep_idx

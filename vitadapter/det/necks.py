@@ -1,0 +1,104 @@
+"""Detection necks: FPN, ExtraAttention, ChannelMapperWithPooling.
+
+Parity targets:
+  * mmdet `FPN` (num_outs=5 with extra max-pool level, as used by the
+    reference Mask R-CNN configs)
+  * `ExtraAttention` (reference
+    `detection/mmdet_custom/models/necks/extra_attention.py:60-130`): one
+    global MHSA (+optional FFN) on the coarsest level(s) before the FPN —
+    used by HTC++.
+  * `ChannelMapperWithPooling` (reference
+    `detection/mmdet_custom/models/necks/channel_mapper.py:9`).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vitadapter.layers.attention import Attention
+from vitadapter.layers.norm import LayerNorm2d
+from vitadapter.utils.resize import resize_2d
+
+
+class FPN(nn.Module):
+    """Top-down FPN: 1x1 laterals + 3x3 output convs (+max-pool extras)."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        L = len(feats)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(feats[i])
+            for i in range(L)
+        ]
+        for i in range(L - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + resize_2d(
+                laterals[i], laterals[i - 1].shape[1:3], "bilinear")
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"fpn_conv_{i}")(laterals[i])
+            for i in range(L)
+        ]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return outs
+
+
+class ExtraAttention(nn.Module):
+    """Global MHSA (+FFN) on the coarsest level(s) before the FPN."""
+
+    num_heads: int = 8
+    with_ffn: bool = True
+    ffn_ratio: float = 4.0
+    apply_to_last: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        feats = list(feats)
+        for k in range(self.apply_to_last):
+            i = len(feats) - 1 - k
+            f = feats[i]
+            B, H, W, C = f.shape
+            x = f.reshape(B, H * W, C)
+            a = Attention(num_heads=self.num_heads, qkv_bias=True,
+                          dtype=self.dtype, name=f"attn_{k}")(
+                nn.LayerNorm(epsilon=1e-6, name=f"norm1_{k}")(x), H, W)
+            x = x + a
+            if self.with_ffn:
+                y = nn.Dense(int(C * self.ffn_ratio), dtype=self.dtype,
+                             name=f"ffn_fc1_{k}")(
+                    nn.LayerNorm(epsilon=1e-6, name=f"norm2_{k}")(x))
+                y = nn.gelu(y, approximate=False)
+                y = nn.Dense(C, dtype=self.dtype, name=f"ffn_fc2_{k}")(y)
+                x = x + y
+            feats[i] = x.reshape(B, H, W, C)
+        return feats
+
+
+class ChannelMapperWithPooling(nn.Module):
+    """1x1(+GN) channel mapping per level, extra levels via stride-2 pooling
+    of the last map."""
+
+    out_channels: int = 256
+    num_outs: int = 4
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        outs = []
+        for i, f in enumerate(feats):
+            y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name=f"conv_{i}")(f)
+            y = nn.GroupNorm(num_groups=self.groups, name=f"gn_{i}")(y)
+            outs.append(y)
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return outs
