@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 # First measured value (round 1, ViT-Adapter-L Mask2Former 512px bf16 eval
-# forward, TPU v5e single chip via axon).
-BASELINE_IMG_PER_SEC = 13.35
+# forward, TPU v5e single chip via axon, corrected synchronization).
+BASELINE_IMG_PER_SEC = 1.202
 
 
 def build_flagship(dtype=jnp.bfloat16):

@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from vitadapter.heads.pixel_decoder import MSDeformAttnPixelDecoder
 from vitadapter.layers.positional import sine_positional_encoding
-from vitadapter.utils.resize import resize_2d
+from vitadapter.utils.resize import resize_2d, resize_hw
 
 NEG_INF = -1e9  # large negative for masked attention logits (fp32-safe)
 
@@ -137,7 +137,7 @@ class Mask2FormerHead(nn.Module):
         # mask_feature: (B, H, W, C) NHWC
         mask_pred = jnp.einsum("bqc,bhwc->bqhw", m, mask_feature,
                                preferred_element_type=jnp.float32)
-        am = resize_2d(mask_pred[..., None], attn_size, "bilinear")[..., 0]
+        am = resize_hw(mask_pred, attn_size, "bilinear")
         B, Q = am.shape[0], am.shape[1]
         am = (jax.nn.sigmoid(am) < 0.5).reshape(B, Q, -1)
         # all-masked rows attend everywhere instead (reference :506-508)

