@@ -1,0 +1,276 @@
+"""Cascade (Mask) R-CNN and HTC++-style detector + detection TTA.
+
+Parity targets:
+  * mmdet `CascadeRCNN`/`HybridTaskCascade` as configured by the reference
+    HTC++ configs (`htc++_beit_adapter_large_fpn_3x_coco.py`): 3 bbox stages
+    with assigner IoUs (.5, .6, .7), class-agnostic regression in cascade
+    stages, stage loss weights (1, .5, .25), per-stage mask heads averaged at
+    test time, optional `ExtraAttention` on the coarsest level before FPN.
+  * `HybridTaskCascadeAug` TTA (reference
+    `detection/mmdet_custom/models/detectors/htc_aug.py:12-241`):
+    multi-scale + flip results filtered per-scale by box-size ranges
+    (`remove_boxes:43-65`), merged with soft-NMS (`:203-241`) — host-side.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vitadapter.det.anchors import multi_level_anchors
+from vitadapter.det.assign import max_iou_assign, random_sample
+from vitadapter.det.boxes import RCNN_STDS, delta2bbox
+from vitadapter.det.necks import FPN, ExtraAttention
+from vitadapter.det.roi_align import crop_resize_masks, multi_level_roi_align
+from vitadapter.det.roi_heads import (FCNMaskHead, Shared2FCBBoxHead,
+                                      bbox_head_loss, decode_detections,
+                                      mask_head_loss)
+from vitadapter.det.rpn import RPNHead, get_proposals, rpn_loss
+
+FPN_STRIDES = (4, 8, 16, 32, 64)
+STAGE_IOUS = (0.5, 0.6, 0.7)
+STAGE_WEIGHTS = (1.0, 0.5, 0.25)
+# mmdet cascade stage target stds tighten per stage
+STAGE_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
+              (1 / 30, 1 / 30, 1 / 15, 1 / 15))
+
+
+class CascadeRCNN(nn.Module):
+    backbone: nn.Module
+    num_classes: int = 80
+    fpn_channels: int = 256
+    num_stages: int = 3
+    with_mask: bool = True
+    use_extra_attention: bool = False
+    num_proposals: int = 1000
+    num_roi_samples: int = 512
+    max_dets: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.extra_attn = (ExtraAttention(dtype=self.dtype)
+                           if self.use_extra_attention else None)
+        self.neck = FPN(out_channels=self.fpn_channels, num_outs=5,
+                        dtype=self.dtype)
+        self.rpn_head = RPNHead(num_anchors=3, channels=self.fpn_channels,
+                                dtype=self.dtype)
+        self.bbox_heads = [
+            Shared2FCBBoxHead(num_classes=self.num_classes,
+                              reg_class_agnostic=True, dtype=self.dtype,
+                              name=f"bbox_head_{i}")
+            for i in range(self.num_stages)
+        ]
+        if self.with_mask:
+            self.mask_heads = [
+                FCNMaskHead(num_classes=self.num_classes, dtype=self.dtype,
+                            name=f"mask_head_{i}")
+                for i in range(self.num_stages)
+            ]
+
+    def extract_feats(self, img, train: bool):
+        feats = self.backbone(img, train=train)
+        if self.extra_attn is not None:
+            feats = self.extra_attn(feats)
+        return self.neck(feats)
+
+    def __call__(self, img, train: bool = False, gt_boxes=None,
+                 gt_labels=None, gt_masks=None, gt_valid=None, rng=None):
+        if train:
+            return self.forward_train(img, gt_boxes, gt_labels, gt_masks,
+                                      gt_valid, rng)
+        return self.simple_test(img)
+
+    def simple_test(self, img):
+        B, H, W, _ = img.shape
+        feats = self.extract_feats(img, train=False)
+        cls_out, reg_out = self.rpn_head(feats)
+        lvl_anchors = multi_level_anchors([f.shape[1:3] for f in feats],
+                                          FPN_STRIDES)
+        props, _, p_valid = get_proposals(cls_out, reg_out, lvl_anchors,
+                                          (H, W),
+                                          max_per_img=self.num_proposals)
+
+        def per_image(feats_i, rois, valid):
+            ms_scores = []
+            for s in range(self.num_stages):
+                rf = multi_level_roi_align(feats_i[:4], rois, 7,
+                                           FPN_STRIDES[:4])
+                cls_logits, deltas = self.bbox_heads[s](rf)
+                ms_scores.append(jax.nn.softmax(cls_logits, -1))
+                if s < self.num_stages - 1:
+                    rois = delta2bbox(rois, deltas[:, 0], STAGE_STDS[s],
+                                      (H, W))
+            mean_probs = sum(ms_scores) / self.num_stages
+            # decode final boxes from the last stage (class-agnostic)
+            final = delta2bbox(rois, deltas[:, 0], STAGE_STDS[-1], (H, W))
+            from vitadapter.det.boxes import batched_nms
+            K = self.num_classes
+            R = final.shape[0]
+            flat_scores = mean_probs[:, :K].reshape(-1)
+            flat_boxes = jnp.repeat(final, K, axis=0)
+            flat_labels = jnp.tile(jnp.arange(K, dtype=jnp.int32), (R,))
+            ok = (flat_scores > 0.05) & jnp.repeat(valid, K)
+            pre = min(2048, R * K)
+            top_s, top_i = jax.lax.top_k(
+                jnp.where(ok, flat_scores, -jnp.inf), pre)
+            boxes, scores, labels, keep = batched_nms(
+                flat_boxes[top_i], top_s, flat_labels[top_i], 0.5,
+                self.max_dets, valid=jnp.isfinite(top_s))
+            out = {"boxes": boxes, "scores": scores, "labels": labels}
+            if self.with_mask:
+                mf = multi_level_roi_align(feats_i[:4], boxes, 14,
+                                           FPN_STRIDES[:4])
+                logits = sum(h(mf) for h in self.mask_heads) / self.num_stages
+                safe = jnp.clip(labels, 0, self.num_classes - 1)
+                out["masks"] = jnp.take_along_axis(
+                    jax.nn.sigmoid(logits), safe[:, None, None, None],
+                    axis=-1)[..., 0]
+            return out
+
+        return jax.vmap(per_image)([f for f in feats], props, p_valid)
+
+    def forward_train(self, img, gt_boxes, gt_labels, gt_masks, gt_valid,
+                      rng):
+        B, H, W, _ = img.shape
+        feats = self.extract_feats(img, train=True)
+        cls_out, reg_out = self.rpn_head(feats)
+        lvl_anchors = multi_level_anchors([f.shape[1:3] for f in feats],
+                                          FPN_STRIDES)
+        anchors = jnp.asarray(np.concatenate(lvl_anchors, axis=0))
+        r_rpn, r_roi = jax.random.split(rng)
+        losses = rpn_loss(cls_out, reg_out, anchors, gt_boxes, gt_valid,
+                          r_rpn, (H, W))
+        props, _, p_valid = get_proposals(cls_out, reg_out, lvl_anchors,
+                                          (H, W),
+                                          max_per_img=self.num_proposals)
+        props = jax.lax.stop_gradient(props)
+
+        def per_image(rng_i, feats_i, rois, roi_valid, gtb, gtl, gtm, gtv):
+            out = {}
+            rois = jnp.concatenate([rois, gtb], axis=0)
+            roi_valid = jnp.concatenate([roi_valid, gtv], axis=0)
+            for s in range(self.num_stages):
+                rng_i, rs = jax.random.split(rng_i)
+                thr = STAGE_IOUS[s]
+                assigned, _ = max_iou_assign(rois, gtb, gtv, thr, thr, thr,
+                                             match_low_quality=False)
+                assigned = jnp.where(roi_valid, assigned, -2)
+                samp = random_sample(rs, assigned, self.num_roi_samples, 0.25)
+                rf = multi_level_roi_align(feats_i[:4], rois[samp.idx], 7,
+                                           FPN_STRIDES[:4])
+                cls_logits, deltas = self.bbox_heads[s](rf)
+                lc, lr, labels = bbox_head_loss(
+                    cls_logits, deltas, samp, rois, gtb, gtl,
+                    self.num_classes)
+                w = STAGE_WEIGHTS[s]
+                out[f"s{s}.loss_cls"] = lc * w
+                out[f"s{s}.loss_bbox"] = lr * w
+                if self.with_mask:
+                    mf = multi_level_roi_align(feats_i[:4], rois[samp.idx],
+                                               14, FPN_STRIDES[:4])
+                    mlogits = self.mask_heads[s](mf)
+                    tgt = crop_resize_masks(gtm, rois[samp.idx], samp.gt_idx,
+                                            28)
+                    out[f"s{s}.loss_mask"] = mask_head_loss(
+                        mlogits, samp, labels, tgt) * w
+                # refine ALL rois for the next stage with this stage's head
+                if s < self.num_stages - 1:
+                    rf_all = multi_level_roi_align(feats_i[:4], rois, 7,
+                                                   FPN_STRIDES[:4])
+                    _, deltas_all = self.bbox_heads[s](rf_all)
+                    rois = jax.lax.stop_gradient(
+                        delta2bbox(rois, deltas_all[:, 0], STAGE_STDS[s],
+                                   (H, W)))
+            return out
+
+        rngs = jax.random.split(r_roi, B)
+        stage_losses = jax.vmap(per_image)(
+            rngs, [f for f in feats], props, p_valid, gt_boxes, gt_labels,
+            gt_masks, gt_valid)
+        losses.update({k: v.mean() for k, v in stage_losses.items()})
+        losses["loss"] = sum(losses.values())
+        return losses
+
+
+# ----------------------------------------------------------------- TTA utils
+
+def remove_boxes_by_scale(boxes: np.ndarray, scale_range: Tuple[float, float]
+                          ) -> np.ndarray:
+    """Keep boxes whose sqrt-area lies in [lo, hi) (reference
+    `htc_aug.py:43-65` per-scale gating)."""
+    s = np.sqrt(np.clip((boxes[:, 2] - boxes[:, 0])
+                        * (boxes[:, 3] - boxes[:, 1]), 0, None))
+    return (s >= scale_range[0]) & (s < scale_range[1])
+
+
+def soft_nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float = 0.5,
+             sigma: float = 0.5, score_thr: float = 1e-3,
+             method: str = "gaussian") -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side soft-NMS (reference merge step uses mmcv soft_nms)."""
+    boxes = boxes.copy().astype(np.float64)
+    scores = scores.copy().astype(np.float64)
+    N = len(boxes)
+    keep = []
+    idxs = np.arange(N)
+    while len(idxs) > 0:
+        i = idxs[np.argmax(scores[idxs])]
+        if scores[i] < score_thr:
+            break
+        keep.append(i)
+        idxs = idxs[idxs != i]
+        if len(idxs) == 0:
+            break
+        ix = np.maximum(0, np.minimum(boxes[idxs, 2], boxes[i, 2])
+                        - np.maximum(boxes[idxs, 0], boxes[i, 0]))
+        iy = np.maximum(0, np.minimum(boxes[idxs, 3], boxes[i, 3])
+                        - np.maximum(boxes[idxs, 1], boxes[i, 1]))
+        inter = ix * iy
+        union = ((boxes[idxs, 2] - boxes[idxs, 0])
+                 * (boxes[idxs, 3] - boxes[idxs, 1])
+                 + (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                 - inter)
+        iou = inter / np.maximum(union, 1e-9)
+        if method == "gaussian":
+            scores[idxs] *= np.exp(-(iou ** 2) / sigma)
+        else:
+            scores[idxs] = np.where(iou > iou_thr,
+                                    scores[idxs] * (1 - iou), scores[idxs])
+    keep = np.asarray(keep, np.int64)
+    return keep, scores[keep]
+
+
+def merge_aug_detections(per_aug: List[Dict[str, np.ndarray]],
+                         scale_ranges: Optional[List[Tuple[float, float]]]
+                         = None, iou_thr: float = 0.5,
+                         max_dets: int = 100) -> Dict[str, np.ndarray]:
+    """Merge multi-scale+flip detections (already mapped back to the original
+    image frame) with per-scale size gating + soft-NMS per class."""
+    all_b, all_s, all_l = [], [], []
+    for k, r in enumerate(per_aug):
+        b = np.asarray(r["boxes"])
+        s = np.asarray(r["scores"])
+        l = np.asarray(r["labels"])
+        ok = np.isfinite(s)
+        if scale_ranges is not None:
+            ok &= remove_boxes_by_scale(b, scale_ranges[k])
+        all_b.append(b[ok])
+        all_s.append(s[ok])
+        all_l.append(l[ok])
+    boxes = np.concatenate(all_b)
+    scores = np.concatenate(all_s)
+    labels = np.concatenate(all_l)
+    out_b, out_s, out_l = [], [], []
+    for c in np.unique(labels):
+        m = labels == c
+        keep, new_s = soft_nms(boxes[m], scores[m], iou_thr)
+        out_b.append(boxes[m][keep])
+        out_s.append(new_s)
+        out_l.append(np.full(len(keep), c, labels.dtype))
+    boxes = np.concatenate(out_b) if out_b else np.zeros((0, 4))
+    scores = np.concatenate(out_s) if out_s else np.zeros((0,))
+    labels = np.concatenate(out_l) if out_l else np.zeros((0,), np.int64)
+    order = np.argsort(-scores)[:max_dets]
+    return {"boxes": boxes[order], "scores": scores[order],
+            "labels": labels[order]}

@@ -112,6 +112,45 @@ def flip_tta(logits_fn: Callable[[jax.Array], jax.Array]):
     return fn
 
 
+def multi_scale_flip_aug(
+    logits_fn: Callable[[jax.Array], jax.Array],
+    img: jax.Array,
+    num_classes: int,
+    ratios: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+    flip: bool = True,
+    size_divisor: int = 32,
+    crop_size: Optional[Tuple[int, int]] = None,
+    stride: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
+    """Multi-scale (+flip) TTA: average class probabilities at the original
+    resolution (reference `EncoderDecoderMask2Former.aug_test:268-285` and
+    the `--aug-test` ratio list in `segmentation/test.py:131-136`).
+
+    Each ratio is a static compiled shape; slide inference is used when
+    crop/stride are given and the scaled image exceeds the crop.
+    """
+    from vitadapter.utils.resize import resize_2d
+
+    B, H, W, _ = img.shape
+    acc = jnp.zeros((B, H, W, num_classes), jnp.float32)
+    for r in ratios:
+        h = max(int(round(H * r / size_divisor)) * size_divisor, size_divisor)
+        w = max(int(round(W * r / size_divisor)) * size_divisor, size_divisor)
+        scaled = resize_2d(img, (h, w), "bilinear")
+        variants = [scaled, scaled[:, :, ::-1]] if flip else [scaled]
+        for vi, v in enumerate(variants):
+            if crop_size is not None and (h > crop_size[0] or w > crop_size[1]):
+                logits = slide_inference(logits_fn, v, crop_size,
+                                         stride or crop_size, num_classes)
+            else:
+                logits = logits_fn(v)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if vi == 1:
+                p = p[:, :, ::-1]
+            acc = acc + resize_2d(p, (H, W), "bilinear")
+    return acc / (len(ratios) * (2 if flip else 1))
+
+
 def cross_entropy_loss(
     logits: jax.Array,          # (B, H, W, K) fp32
     labels: jax.Array,          # (B, H, W) int32
