@@ -54,10 +54,14 @@ def hungarian_assign(cost: jax.Array, n_valid: jax.Array,
     """
     if impl == "auto":
         impl = "callback" if jax.default_backend() == "cpu" else "auction"
-    if impl == "callback":
+    if impl in ("callback", "native"):
         B, Q, _ = cost.shape
+        if impl == "native":
+            from vitadapter.ops.native import lap_solve_batch as fn
+        else:
+            fn = _solve_batch
         return jax.pure_callback(
-            _solve_batch,
+            fn,
             jax.ShapeDtypeStruct((B, Q), jnp.int32),
             cost.astype(jnp.float32), n_valid.astype(jnp.int32),
             vmap_method="sequential",
