@@ -13,21 +13,45 @@ from vitadapter.heads.mask2former import Mask2FormerHead
 from vitadapter.heads.upernet import FCNHead, UPerHead
 from vitadapter.models.mask2former_segmentor import EncoderDecoderMask2Former
 from vitadapter.models.segmentor import EncoderDecoder
+from vitadapter.det.cascade import CascadeRCNN
+from vitadapter.det.dino_detector import DINO
+from vitadapter.det.grounding_dino import GroundingDINO
+from vitadapter.det.mask_rcnn import MaskRCNN
+from vitadapter.det.single_stage import ATSS
+from vitadapter.det.sparse_rcnn import SparseRCNN
+from vitadapter.heads.maskformer import MaskFormerHead
+from vitadapter.models.baselines import BEiTBaseline, ViTBaseline
 from vitadapter.models.beit import BEiT
 from vitadapter.models.beit_adapter import BEiTAdapter
+from vitadapter.models.uniperceiver import UnifiedBertEncoder
+from vitadapter.models.uniperceiver_adapter import UniPerceiverAdapter
 from vitadapter.models.vit import TIMMVisionTransformer
 from vitadapter.models.vit_adapter import ViTAdapter
 
 REGISTRY: Dict[str, Any] = {
+    # backbones
     "ViTAdapter": ViTAdapter,
     "BEiT": BEiT,
     "BEiTAdapter": BEiTAdapter,
+    "UniPerceiverAdapter": UniPerceiverAdapter,
+    "UnifiedBertEncoder": UnifiedBertEncoder,
     "TIMMVisionTransformer": TIMMVisionTransformer,
+    "ViTBaseline": ViTBaseline,
+    "BEiTBaseline": BEiTBaseline,
+    # segmentation
     "UPerHead": UPerHead,
     "FCNHead": FCNHead,
     "Mask2FormerHead": Mask2FormerHead,
+    "MaskFormerHead": MaskFormerHead,
     "EncoderDecoder": EncoderDecoder,
     "EncoderDecoderMask2Former": EncoderDecoderMask2Former,
+    # detection / grounding
+    "MaskRCNN": MaskRCNN,
+    "CascadeRCNN": CascadeRCNN,
+    "ATSS": ATSS,
+    "SparseRCNN": SparseRCNN,
+    "DINO": DINO,
+    "GroundingDINO": GroundingDINO,
 }
 
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
