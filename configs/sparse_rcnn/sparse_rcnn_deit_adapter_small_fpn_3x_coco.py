@@ -1,0 +1,22 @@
+# Sparse R-CNN + ViT-Adapter-S on COCO (counterpart of the reference
+# sparse_rcnn collection).
+model = dict(
+    type="SparseRCNN",
+    num_classes=80,
+    num_proposals=100,
+    num_stages=6,
+    channels=256,
+    backbone=dict(
+        type="ViTAdapter", patch_size=16, embed_dim=384, depth=12,
+        num_heads=6, drop_path_rate=0.2, layer_scale=False, conv_inplane=64,
+        deform_num_heads=6, cffn_ratio=0.25, deform_ratio=1.0,
+        interaction_indexes=[[0, 2], [3, 5], [6, 8], [9, 11]],
+        window_attn=[True, True, False] * 4,
+        window_size=[14, 14, None] * 4),
+)
+data = dict(dataset_type="CocoDataset", data_root="data/coco",
+            train=dict(ann_file="annotations/instances_train2017.json", img_dir="train2017"),
+            val=dict(ann_file="annotations/instances_val2017.json", img_dir="val2017"),
+            samples_per_chip=2, crop_size=[1024, 1024], max_instances=100)
+optimizer = dict(type="AdamW", lr=2.5e-5, weight_decay=1e-4, layer_decay_rate=1.0)
+pretrained = "pretrained/deit_small_patch16_224-cd65a155.pth"

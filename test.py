@@ -36,9 +36,15 @@ def load_variables(path: str, cfg):
         model = build_model(dict(cfg.model))
         crop = tuple(cfg.data["crop_size"])
         img = jnp.zeros((1, *crop, 3), jnp.float32)
-        variables = jax.jit(
-            lambda k, x: model.init(k, x, with_aux=True))(
-                jax.random.PRNGKey(0), normalize(img))
+        mtype = cfg.model["type"]
+        if mtype == "GroundingDINO":
+            ids = jnp.zeros((1, cfg.data.get("max_sent_len", 128)), jnp.int32)
+            init = lambda k, x: model.init(k, x, ids, ids)
+        elif mtype == "EncoderDecoder":
+            init = lambda k, x: model.init(k, x, with_aux=True)
+        else:
+            init = model.init
+        variables = jax.jit(init)(jax.random.PRNGKey(0), normalize(img))
         tx, _ = make_optimizer(variables["params"])
         template = TrainState.create(variables["params"],
                                      variables["batch_stats"], tx)
@@ -61,9 +67,17 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(parse_cfg_options(args.cfg_options))
     variables = load_variables(args.checkpoint, cfg)
-    dataset = build_dataset(cfg.data, "val")
-    run_eval(cfg, variables, dataset, aug_test=args.aug_test,
-             max_images=args.max_images)
+    if any(m in args.eval for m in ("bbox", "segm", "IoU")):
+        from vitadapter.train.det_loop import build_det_dataset, run_det_eval
+        dataset = build_det_dataset(cfg.data, "val")
+        iou_types = tuple(t for t in ("bbox", "segm") if t in args.eval) \
+            or ("bbox",)
+        run_det_eval(cfg, variables, dataset, iou_types=iou_types,
+                     max_images=args.max_images)
+    else:
+        dataset = build_dataset(cfg.data, "val")
+        run_eval(cfg, variables, dataset, aug_test=args.aug_test,
+                 max_images=args.max_images)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,6 @@ def main():
         import jax
         jax.distributed.initialize()
 
-    from vitadapter.train.loop import run_training
     from vitadapter.utils.config import Config, parse_cfg_options
 
     cfg = Config.fromfile(args.config)
@@ -42,8 +41,17 @@ def main():
     work_dir = args.work_dir or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
-    run_training(cfg, work_dir, resume=args.resume, max_iters=args.max_iters,
-                 synthetic=args.synthetic_data)
+
+    DETECTORS = {"MaskRCNN", "CascadeRCNN", "ATSS", "SparseRCNN", "DINO",
+                 "GroundingDINO"}
+    if cfg.model["type"] in DETECTORS:
+        from vitadapter.train.det_loop import run_det_training
+        run_det_training(cfg, work_dir, max_iters=args.max_iters,
+                         synthetic=args.synthetic_data)
+    else:
+        from vitadapter.train.loop import run_training
+        run_training(cfg, work_dir, resume=args.resume,
+                     max_iters=args.max_iters, synthetic=args.synthetic_data)
 
 
 if __name__ == "__main__":

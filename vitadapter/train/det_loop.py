@@ -1,0 +1,227 @@
+"""Config-driven detection training / evaluation.
+
+Counterpart of the reference `detection/train.py` / `test.py --eval bbox segm`
+flow on the mm runner stack: COCO data pipeline (multi-scale resize + flip +
+pad to a static crop), jit-compiled data-parallel train step, COCO-protocol
+evaluation through `det/coco_eval.py`.
+"""
+
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vitadapter.builder import build_model
+from vitadapter.data import transforms as T
+from vitadapter.data.coco import CocoDataset, pad_targets
+from vitadapter.data.grounding import WSDMCocoDataset
+from vitadapter.data.preprocess import normalize, pad_to_multiple
+from vitadapter.det.coco_eval import COCOEvaluator
+from vitadapter.parallel.mesh import make_mesh, replicate, shard_batch
+from vitadapter.train.optim import make_optimizer
+from vitadapter.train.trainer import TrainState
+from vitadapter.utils.checkpoint_io import save_checkpoint
+
+DET_DATASETS = {"CocoDataset": CocoDataset, "WSDMCocoDataset": WSDMCocoDataset}
+
+
+def build_det_dataset(data_cfg: Dict[str, Any], split: str,
+                      with_masks: bool = True):
+    cls = DET_DATASETS[data_cfg["dataset_type"]]
+    sub = data_cfg[split]
+    root = data_cfg.get("data_root", "")
+    kwargs = {} if cls is WSDMCocoDataset else {"with_masks": with_masks}
+    return cls(os.path.join(root, sub["ann_file"]),
+               os.path.join(root, sub["img_dir"]), **kwargs)
+
+
+def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.RandomState(seed)
+    ch, cw = data_cfg["crop_size"]
+    max_inst = data_cfg.get("max_instances", 100)
+    n = len(dataset)
+    order = rng.permutation(n)
+    pos = 0
+    while True:
+        imgs, targets = [], []
+        for _ in range(batch_size):
+            if pos >= n:
+                order = rng.permutation(n)
+                pos = 0
+            img, t = dataset.load(int(order[pos]))
+            pos += 1
+            # multi-scale resize keeping ratio into the crop, flip, pad
+            ratio = rng.uniform(0.75, 1.25)
+            img2, _ = T.resize_keep_ratio(img, None, (cw, ch), ratio)
+            sy = img2.shape[0] / img.shape[0]
+            sx = img2.shape[1] / img.shape[1]
+            boxes = t["boxes"] * np.asarray([sx, sy, sx, sy], np.float32)
+            masks = t.get("masks")
+            if masks is not None and len(masks):
+                masks = np.stack([
+                    T._pil_resize(m.astype(np.uint8),
+                                  (img2.shape[1], img2.shape[0]),
+                                  nearest=True) for m in masks])
+            elif masks is not None:
+                masks = np.zeros((0, img2.shape[0], img2.shape[1]), np.uint8)
+            if rng.rand() < 0.5:
+                img2 = img2[:, ::-1]
+                w = img2.shape[1]
+                boxes = boxes[:, [2, 1, 0, 3]] * np.asarray(
+                    [-1, 1, -1, 1]) + np.asarray([w, 0, w, 0])
+                if masks is not None:
+                    masks = masks[:, :, ::-1]
+            h, w = img2.shape[:2]
+            img2 = np.pad(img2, ((0, max(ch - h, 0)), (0, max(cw - w, 0)),
+                                 (0, 0)))[:ch, :cw]
+            if masks is not None:
+                masks = np.pad(masks, ((0, 0), (0, max(ch - h, 0)),
+                                       (0, max(cw - w, 0))))[:, :ch, :cw]
+            t2 = dict(t, boxes=boxes.astype(np.float32), masks=masks)
+            targets.append(pad_targets(t2, max_inst))
+            imgs.append(img2)
+        batch = {"image": np.stack(imgs).astype(np.float32),
+                 "gt_boxes": np.stack([t["boxes"] for t in targets]),
+                 "gt_labels": np.stack([t["labels"] for t in targets]),
+                 "gt_valid": np.stack([t["valid"] for t in targets])}
+        if targets[0].get("masks") is not None:
+            batch["gt_masks"] = np.stack(
+                [t["masks"] for t in targets]).astype(np.float32)
+        yield batch
+
+
+def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
+                     synthetic: bool = False, log_fn=print):
+    model = build_model(dict(cfg.model))
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batch = cfg.data.get("samples_per_chip", 2) * n_dev
+    ch, cw = cfg.data["crop_size"]
+    max_inst = cfg.data.get("max_instances", 100)
+    total = max_iters or cfg.get("runner", {}).get("max_iters", 90000)
+
+    init_img = jnp.zeros((batch, ch, cw, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    normalize(init_img))
+    opt = cfg.optimizer
+    tx, schedule = make_optimizer(
+        variables["params"], base_lr=opt["lr"],
+        weight_decay=opt["weight_decay"],
+        depth=cfg.model["backbone"]["depth"],
+        layer_decay_rate=opt.get("layer_decay_rate", 1.0),
+        total_steps=total, warmup_steps=500, grad_clip=opt.get("grad_clip"))
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    state = replicate(mesh, state)
+
+    needs_masks = cfg.model["type"] in ("MaskRCNN", "CascadeRCNN")
+
+    def step_fn(state, batch, rng):
+        def loss_fn(params):
+            kwargs = dict(train=True, gt_boxes=batch["gt_boxes"],
+                          gt_labels=batch["gt_labels"],
+                          gt_valid=batch["gt_valid"], rng=rng)
+            if needs_masks:
+                kwargs["gt_masks"] = batch["gt_masks"]
+            losses, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                normalize(batch["image"]), mutable=["batch_stats"],
+                rngs={"dropout": rng}, **kwargs)
+            return losses["loss"], (losses, updates["batch_stats"])
+
+        (loss, (logs, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=stats, opt_state=opt_state), logs
+
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+
+    if synthetic:
+        def synth():
+            rng = np.random.RandomState(0)
+            while True:
+                g = max_inst
+                xy = rng.rand(batch, g, 2) * (min(ch, cw) // 2)
+                wh = rng.rand(batch, g, 2) * 32 + 8
+                b = {"image": rng.rand(batch, ch, cw, 3).astype(np.float32) * 255,
+                     "gt_boxes": np.concatenate([xy, xy + wh], -1).astype(np.float32),
+                     "gt_labels": rng.randint(
+                         0, cfg.model.get("num_classes", 80),
+                         (batch, g)).astype(np.int32),
+                     "gt_valid": np.ones((batch, g), bool)}
+                if needs_masks:
+                    b["gt_masks"] = (rng.rand(batch, g, ch, cw) > 0.5
+                                     ).astype(np.float32)
+                yield b
+        it = synth()
+    else:
+        ds = build_det_dataset(cfg.data, "train", with_masks=needs_masks)
+        it = det_train_batches(ds, cfg.data, batch)
+
+    rng = jax.random.PRNGKey(1)
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    log_int = cfg.get("log_config", {}).get("interval", 50)
+    t_last = time.perf_counter()
+    for i in range(total):
+        b = shard_batch(mesh, next(it))
+        rng, sub = jax.random.split(rng)
+        state, logs = jstep(state, b, sub)
+        if (i + 1) % log_int == 0 or (i + 1) == total:
+            dt = (time.perf_counter() - t_last) / log_int
+            log_fn(f"iter {i+1}/{total} loss={float(logs['loss']):.4f} "
+                   f"time={dt:.3f}s lr={float(schedule(i)):.3e}")
+            t_last = time.perf_counter()
+        if (i + 1) % cfg.get("checkpoint_config", {}).get(
+                "interval", 5000) == 0 or (i + 1) == total:
+            save_checkpoint(ckpt_dir, i + 1, jax.device_get(state))
+    return state
+
+
+def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
+                 max_images: Optional[int] = None, log_fn=print):
+    """Per-image inference -> COCO-protocol metrics."""
+    model = build_model(dict(cfg.model))
+    evaluators = {t: COCOEvaluator(dataset.num_classes, iou_type=t)
+                  for t in iou_types}
+
+    @jax.jit
+    def infer(img):
+        return model.apply(variables, normalize(img))
+
+    n = min(len(dataset), max_images or len(dataset))
+    for i in range(n):
+        img, gts = dataset.load(i)
+        x, (H, W) = pad_to_multiple(jnp.asarray(img, jnp.float32)[None], 32)
+        out = infer(x)
+        dets = {k: np.asarray(v[0]) for k, v in out.items()}
+        if "masks" in dets and "segm" in evaluators:
+            # paste 28x28 mask crops into full-size binary masks (host)
+            full = np.zeros((len(dets["boxes"]), H, W), bool)
+            for d, (box, m) in enumerate(zip(dets["boxes"], dets["masks"])):
+                x1, y1, x2, y2 = [int(round(float(v))) for v in box]
+                x2, y2 = min(max(x2, x1 + 1), W), min(max(y2, y1 + 1), H)
+                x1, y1 = max(x1, 0), max(y1, 0)
+                from PIL import Image
+                mm = np.asarray(Image.fromarray(
+                    (m * 255).astype(np.uint8)).resize(
+                        (x2 - x1, y2 - y1))) > 127
+                full[d, y1:y2, x1:x2] = mm
+            dets["masks"] = full
+            gts = dict(gts)
+        for t, ev in evaluators.items():
+            ev.add_image(dets, gts)
+        if (i + 1) % 100 == 0:
+            log_fn(f"eval {i+1}/{n}")
+    metrics = {}
+    for t, ev in evaluators.items():
+        metrics.update(ev.summarize())
+    log_fn(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+    return metrics
