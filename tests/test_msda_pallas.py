@@ -1,0 +1,27 @@
+"""Pallas MSDA kernel parity (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitadapter.ops.msda import ms_deform_attn_block
+
+
+def test_pallas_kernel_matches_block_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vitadapter.ops import msda_pallas
+
+    rng = np.random.RandomState(0)
+    shapes = ((8, 6), (4, 3))
+    S = sum(h * w for h, w in shapes)
+    B, Lq, M, D, P = 1, 5, 2, 32, 4
+    value = jnp.asarray(rng.randn(B, S, M, D), jnp.float32)
+    loc = jnp.asarray((rng.rand(B, Lq, M, 2, P, 2) - 0.25) * 2.0, jnp.float32)
+    attn = jnp.asarray(rng.rand(B, Lq, M, 2, P), jnp.float32)
+    ref = ms_deform_attn_block(value, shapes, loc, attn)
+    with pltpu.force_tpu_interpret_mode():
+        got = msda_pallas.ms_deform_attn_pallas(value, shapes, loc, attn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -211,8 +211,21 @@ def ms_deform_attn(
     attention_weights: jax.Array,
     impl: str = "auto",
 ) -> jax.Array:
-    """Multi-scale deformable attention sampling with implementation dispatch."""
-    if impl in ("auto", "block"):
+    """Multi-scale deformable attention sampling with implementation dispatch.
+
+    impl:
+      'pallas' — MXU contraction kernel (fastest on TPU; ~2x over 'block')
+      'block'  — XLA 2x2xD block gather (TPU-fast, runs everywhere)
+      'xla'    — 4-corner take_along reference formulation
+      'auto'   — pallas on TPU, block elsewhere
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "block"
+    if impl == "pallas":
+        from vitadapter.ops.msda_pallas import ms_deform_attn_pallas
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights)
+    if impl == "block":
         return ms_deform_attn_block(
             value, spatial_shapes, sampling_locations, attention_weights)
     if impl == "xla":
