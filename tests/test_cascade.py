@@ -20,7 +20,7 @@ def _model(**kw):
 
 
 def test_cascade_inference():
-    model = _model(use_extra_attention=True)
+    model = _model(use_extra_attention=True, with_semantic=True)
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
     vars_ = jax.jit(model.init)(jax.random.PRNGKey(1), img)
     out = jax.jit(model.apply)(vars_, img)
@@ -30,7 +30,7 @@ def test_cascade_inference():
 
 
 def test_cascade_train_losses():
-    model = _model()
+    model = _model(with_semantic=True)
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
     vars_ = jax.jit(model.init)(jax.random.PRNGKey(1), img)
     G, H, W = 3, 64, 64
@@ -42,17 +42,21 @@ def test_cascade_train_losses():
     gtm = jnp.asarray((rng.rand(1, G, H, W) > 0.5), jnp.float32)
     gtv = jnp.ones((1, G), bool)
 
+    gts = jnp.asarray(rng.randint(0, 10, (1, H, W)), jnp.int32)
+
     def loss_fn(p):
         losses, _ = model.apply(
             {"params": p, "batch_stats": vars_["batch_stats"]}, img,
             train=True, gt_boxes=gtb, gt_labels=gtl, gt_masks=gtm,
-            gt_valid=gtv, rng=jax.random.PRNGKey(2), mutable=["batch_stats"],
+            gt_valid=gtv, rng=jax.random.PRNGKey(2), gt_semantic=gts,
+            mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(3)})
         return losses["loss"], losses
 
     (loss, logs), grads = jax.jit(
         jax.value_and_grad(loss_fn, has_aux=True))(vars_["params"])
     assert np.isfinite(float(loss))
+    assert np.isfinite(float(logs["loss_semantic"]))
     for s in range(3):
         for k in ("loss_cls", "loss_bbox", "loss_mask"):
             assert np.isfinite(float(logs[f"s{s}.{k}"]))

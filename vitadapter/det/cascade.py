@@ -37,6 +37,40 @@ STAGE_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
               (1 / 30, 1 / 30, 1 / 15, 1 / 15))
 
 
+class SemanticHead(nn.Module):
+    """HTC semantic-fusion branch (mmdet FusedSemanticHead): fuse FPN levels
+    at stride 8, conv tower, semantic logits + a feature map mixed into the
+    RoI features of every stage."""
+
+    num_semantic_classes: int = 183
+    channels: int = 256
+    num_convs: int = 4
+    fusion_level: int = 1  # stride-8 FPN level
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from vitadapter.utils.resize import resize_2d
+
+        tgt = feats[self.fusion_level]
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    name="lateral_fuse")(tgt)
+        for i, f in enumerate(feats):
+            if i == self.fusion_level:
+                continue
+            y = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name=f"lateral_{i}")(f)
+            x = x + resize_2d(y, tgt.shape[1:3], "bilinear")
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.channels, (3, 3), padding=1,
+                                dtype=self.dtype, name=f"conv_{i}")(x))
+        seg = nn.Conv(self.num_semantic_classes, (1, 1), dtype=jnp.float32,
+                      name="conv_seg")(x)
+        feat = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                       name="conv_embedding")(x)
+        return seg, feat
+
+
 class CascadeRCNN(nn.Module):
     backbone: nn.Module
     num_classes: int = 80
@@ -44,6 +78,9 @@ class CascadeRCNN(nn.Module):
     num_stages: int = 3
     with_mask: bool = True
     use_extra_attention: bool = False
+    with_semantic: bool = False      # HTC semantic-fusion branch
+    mask_info_flow: bool = True      # HTC inter-stage mask feature flow
+    num_semantic_classes: int = 183
     num_proposals: int = 1000
     num_roi_samples: int = 512
     max_dets: int = 100
@@ -56,6 +93,10 @@ class CascadeRCNN(nn.Module):
                         dtype=self.dtype)
         self.rpn_head = RPNHead(num_anchors=3, channels=self.fpn_channels,
                                 dtype=self.dtype)
+        self.semantic_head = (SemanticHead(
+            num_semantic_classes=self.num_semantic_classes,
+            channels=self.fpn_channels, dtype=self.dtype)
+            if self.with_semantic else None)
         self.bbox_heads = [
             Shared2FCBBoxHead(num_classes=self.num_classes,
                               reg_class_agnostic=True, dtype=self.dtype,
@@ -64,8 +105,9 @@ class CascadeRCNN(nn.Module):
         ]
         if self.with_mask:
             self.mask_heads = [
-                FCNMaskHead(num_classes=self.num_classes, dtype=self.dtype,
-                            name=f"mask_head_{i}")
+                FCNMaskHead(num_classes=self.num_classes,
+                            return_feat=self.mask_info_flow,
+                            dtype=self.dtype, name=f"mask_head_{i}")
                 for i in range(self.num_stages)
             ]
 
@@ -76,11 +118,24 @@ class CascadeRCNN(nn.Module):
         return self.neck(feats)
 
     def __call__(self, img, train: bool = False, gt_boxes=None,
-                 gt_labels=None, gt_masks=None, gt_valid=None, rng=None):
+                 gt_labels=None, gt_masks=None, gt_valid=None, rng=None,
+                 gt_semantic=None):
         if train:
             return self.forward_train(img, gt_boxes, gt_labels, gt_masks,
-                                      gt_valid, rng)
+                                      gt_valid, rng, gt_semantic=gt_semantic)
         return self.simple_test(img)
+
+    def _mask_logits(self, mask_feats):
+        """Run the mask-head cascade with HTC information flow; average."""
+        acc = 0.0
+        prev = None
+        for head in self.mask_heads:
+            if self.mask_info_flow:
+                logits, prev = head(mask_feats, prev)
+            else:
+                logits = head(mask_feats)
+            acc = acc + logits
+        return acc / self.num_stages
 
     def simple_test(self, img):
         B, H, W, _ = img.shape
@@ -91,12 +146,23 @@ class CascadeRCNN(nn.Module):
         props, _, p_valid = get_proposals(cls_out, reg_out, lvl_anchors,
                                           (H, W),
                                           max_per_img=self.num_proposals)
+        sem_feat = None
+        if self.semantic_head is not None:
+            _, sem_feat = self.semantic_head(feats[:4])
 
-        def per_image(feats_i, rois, valid):
+        def per_image(feats_i, rois, valid, sem_i):
+            from vitadapter.det.roi_align import roi_align
+
+            def fuse_sem(rf, rois_, size):
+                if sem_i is None:
+                    return rf
+                return rf + roi_align(sem_i, rois_, size, 1.0 / 8)
+
             ms_scores = []
             for s in range(self.num_stages):
                 rf = multi_level_roi_align(feats_i[:4], rois, 7,
                                            FPN_STRIDES[:4])
+                rf = fuse_sem(rf, rois, 7)
                 cls_logits, deltas = self.bbox_heads[s](rf)
                 ms_scores.append(jax.nn.softmax(cls_logits, -1))
                 if s < self.num_stages - 1:
@@ -122,17 +188,19 @@ class CascadeRCNN(nn.Module):
             if self.with_mask:
                 mf = multi_level_roi_align(feats_i[:4], boxes, 14,
                                            FPN_STRIDES[:4])
-                logits = sum(h(mf) for h in self.mask_heads) / self.num_stages
+                mf = fuse_sem(mf, boxes, 14)
+                logits = self._mask_logits(mf)
                 safe = jnp.clip(labels, 0, self.num_classes - 1)
                 out["masks"] = jnp.take_along_axis(
                     jax.nn.sigmoid(logits), safe[:, None, None, None],
                     axis=-1)[..., 0]
             return out
 
-        return jax.vmap(per_image)([f for f in feats], props, p_valid)
+        return jax.vmap(per_image)([f for f in feats], props, p_valid,
+                                   sem_feat)
 
     def forward_train(self, img, gt_boxes, gt_labels, gt_masks, gt_valid,
-                      rng):
+                      rng, gt_semantic=None):
         B, H, W, _ = img.shape
         feats = self.extract_feats(img, train=True)
         cls_out, reg_out = self.rpn_head(feats)
@@ -147,7 +215,27 @@ class CascadeRCNN(nn.Module):
                                           max_per_img=self.num_proposals)
         props = jax.lax.stop_gradient(props)
 
-        def per_image(rng_i, feats_i, rois, roi_valid, gtb, gtl, gtm, gtv):
+        sem_feat = None
+        if self.semantic_head is not None:
+            sem_seg, sem_feat = self.semantic_head(feats[:4])
+            if gt_semantic is not None:
+                from vitadapter.models.segmentor import cross_entropy_loss
+                from vitadapter.utils.resize import resize_hw
+
+                tgt = resize_hw(gt_semantic.astype(jnp.float32),
+                                sem_seg.shape[1:3], "bilinear")
+                losses["loss_semantic"] = cross_entropy_loss(
+                    sem_seg, jnp.round(tgt).astype(jnp.int32)) * 0.2
+
+        def per_image(rng_i, feats_i, rois, roi_valid, gtb, gtl, gtm, gtv,
+                      sem_i):
+            from vitadapter.det.roi_align import roi_align
+
+            def fuse_sem(rf, rois_, size):
+                if sem_i is None:
+                    return rf
+                return rf + roi_align(sem_i, rois_, size, 1.0 / 8)
+
             out = {}
             rois = jnp.concatenate([rois, gtb], axis=0)
             roi_valid = jnp.concatenate([roi_valid, gtv], axis=0)
@@ -160,6 +248,7 @@ class CascadeRCNN(nn.Module):
                 samp = random_sample(rs, assigned, self.num_roi_samples, 0.25)
                 rf = multi_level_roi_align(feats_i[:4], rois[samp.idx], 7,
                                            FPN_STRIDES[:4])
+                rf = fuse_sem(rf, rois[samp.idx], 7)
                 cls_logits, deltas = self.bbox_heads[s](rf)
                 lc, lr, labels = bbox_head_loss(
                     cls_logits, deltas, samp, rois, gtb, gtl,
@@ -170,7 +259,15 @@ class CascadeRCNN(nn.Module):
                 if self.with_mask:
                     mf = multi_level_roi_align(feats_i[:4], rois[samp.idx],
                                                14, FPN_STRIDES[:4])
-                    mlogits = self.mask_heads[s](mf)
+                    mf = fuse_sem(mf, rois[samp.idx], 14)
+                    if self.mask_info_flow:
+                        # HTC: chain features through the earlier heads
+                        prev = None
+                        for t in range(s):
+                            _, prev = self.mask_heads[t](mf, prev)
+                        mlogits, _ = self.mask_heads[s](mf, prev)
+                    else:
+                        mlogits = self.mask_heads[s](mf)
                     tgt = crop_resize_masks(gtm, rois[samp.idx], samp.gt_idx,
                                             28)
                     out[f"s{s}.loss_mask"] = mask_head_loss(
@@ -179,6 +276,7 @@ class CascadeRCNN(nn.Module):
                 if s < self.num_stages - 1:
                     rf_all = multi_level_roi_align(feats_i[:4], rois, 7,
                                                    FPN_STRIDES[:4])
+                    rf_all = fuse_sem(rf_all, rois, 7)
                     _, deltas_all = self.bbox_heads[s](rf_all)
                     rois = jax.lax.stop_gradient(
                         delta2bbox(rois, deltas_all[:, 0], STAGE_STDS[s],
@@ -188,7 +286,7 @@ class CascadeRCNN(nn.Module):
         rngs = jax.random.split(r_roi, B)
         stage_losses = jax.vmap(per_image)(
             rngs, [f for f in feats], props, p_valid, gt_boxes, gt_labels,
-            gt_masks, gt_valid)
+            gt_masks, gt_valid, sem_feat)
         losses.update({k: v.mean() for k, v in stage_losses.items()})
         losses["loss"] = sum(losses.values())
         return losses

@@ -34,9 +34,15 @@ class GroundingDINO(nn.Module):
     num_decoder_layers: int = 6
     dn_groups: int = 2
     max_dets: int = 100
+    with_aux_seg: bool = False   # auxiliary box-rectangle seg branch
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if self.with_aux_seg:
+            self.aux_seg_convs = [
+                nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"aux_seg_conv_{i}") for i in range(2)
+            ] + [nn.Conv(1, (1, 1), dtype=jnp.float32, name="aux_seg_out")]
         self.neck = ChannelMapperWithPooling(out_channels=self.embed_dim,
                                              num_outs=4, dtype=self.dtype)
         self.transformer = DinoTransformer(
@@ -56,6 +62,12 @@ class GroundingDINO(nn.Module):
         B, H, W, _ = img.shape
         feats = self.backbone(img, refer, r_mask, train=train)
         feats = self.neck(feats[1:] if len(feats) == 4 else feats)
+        aux_seg = None
+        if self.with_aux_seg:
+            x = feats[0]
+            for conv in self.aux_seg_convs[:-1]:
+                x = nn.relu(conv(x))
+            aux_seg = self.aux_seg_convs[-1](x)[..., 0]   # (B, h, w)
         if not train:
             outs = self.transformer(feats)
             return self._decode(outs, (H, W))
@@ -67,6 +79,24 @@ class GroundingDINO(nn.Module):
         outs = self.transformer(feats, dn.queries, dn.refs, dn.attn_mask)
         n_dn = dn.queries.shape[1]
         losses, total = {}, 0.0
+        if self.with_aux_seg:
+            # box-rectangle dice supervision on the finest neck feature
+            # (reference grounding_dino.py:49-60,102-119)
+            seg = aux_seg
+            h, w = seg.shape[1:3]
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (H / h)
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (W / w)
+            inside = ((ys[None, :, None, None] >= gt_boxes[:, None, None, :, 1])
+                      & (ys[None, :, None, None] <= gt_boxes[:, None, None, :, 3])
+                      & (xs[None, None, :, None] >= gt_boxes[:, None, None, :, 0])
+                      & (xs[None, None, :, None] <= gt_boxes[:, None, None, :, 2])
+                      & gt_valid[:, None, None, :])
+            target = inside.any(-1).astype(jnp.float32)   # (B, h, w)
+            p = jax.nn.sigmoid(seg.astype(jnp.float32))
+            inter = (p * target).sum((1, 2))
+            dice = 1 - (2 * inter + 1) / (p.sum((1, 2)) + target.sum((1, 2)) + 1)
+            losses["loss_aux_seg"] = dice.mean()
+            total = total + losses["loss_aux_seg"]
         for i, (cls_l, box_l) in enumerate(zip(outs["cls"], outs["boxes"])):
             m = dino_matching_loss(cls_l[:, n_dn:], box_l[:, n_dn:],
                                    gt_labels, gt_n, gt_valid, self.num_classes)

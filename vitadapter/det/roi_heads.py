@@ -40,19 +40,33 @@ class FCNMaskHead(nn.Module):
     num_classes: int = 80
     channels: int = 256
     num_convs: int = 4
+    return_feat: bool = False  # HTC mask information flow
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feats: jax.Array) -> jax.Array:
-        """roi_feats (R, 14, 14, C) -> mask logits (R, 28, 28, K)."""
+    def __call__(self, roi_feats: jax.Array,
+                 prev_feat: Optional[jax.Array] = None):
+        """roi_feats (R, 14, 14, C) -> mask logits (R, 28, 28, K).
+
+        With `prev_feat` (HTC info flow, mmdet HTCMaskHead): the previous
+        stage's conv features pass through a 1x1 conv and are added before
+        this stage's tower.
+        """
         x = roi_feats
+        if prev_feat is not None:
+            x = x + nn.Conv(roi_feats.shape[-1], (1, 1), dtype=self.dtype,
+                            name="conv_res_feat")(prev_feat)
         for i in range(self.num_convs):
             x = nn.relu(nn.Conv(self.channels, (3, 3), padding=1,
                                 dtype=self.dtype, name=f"conv_{i}")(x))
+        feat = x
         x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
                                      dtype=self.dtype, name="upsample")(x))
-        return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
-                       name="conv_logits")(x)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                         name="conv_logits")(x)
+        if self.return_feat:
+            return logits, feat
+        return logits
 
 
 def bbox_head_loss(cls_logits, deltas, sample, proposals, gt_boxes, gt_labels,
