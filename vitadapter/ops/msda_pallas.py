@@ -143,7 +143,7 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
     )(y0b, x0b, wyb, wxb, value_bm)
 
     out = out[:, :n].reshape(B, M, Lq, P, D).astype(jnp.float32).sum(axis=3)
