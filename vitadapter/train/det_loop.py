@@ -82,7 +82,14 @@ def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0
             if masks is not None:
                 masks = np.pad(masks, ((0, 0), (0, max(ch - h, 0)),
                                        (0, max(cw - w, 0))))[:, :ch, :cw]
-            t2 = dict(t, boxes=boxes.astype(np.float32), masks=masks)
+            # clip to the crop; drop boxes that became degenerate
+            boxes = np.clip(boxes, 0, [cw, ch, cw, ch]).astype(np.float32)
+            keep = ((boxes[:, 2] - boxes[:, 0] > 1)
+                    & (boxes[:, 3] - boxes[:, 1] > 1))
+            t2 = {k: (v[keep] if isinstance(v, np.ndarray) and len(v) == len(keep)
+                      else v) for k, v in t.items()}
+            t2["boxes"] = boxes[keep]
+            t2["masks"] = masks[keep] if masks is not None else None
             targets.append(pad_targets(t2, max_inst))
             imgs.append(img2)
         batch = {"image": np.stack(imgs).astype(np.float32),
