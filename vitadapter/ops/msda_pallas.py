@@ -88,6 +88,37 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _sample_kernel_onehot(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
+                          *, H, W, D, T):
+    """Small-level variant (H*W <= 1024): one (T, HW) combined one-hot and a
+    single K=HW matmul — avoids the poorly-utilized tiny-K chunk matmuls."""
+    y0 = y0_ref[0]
+    x0 = x0_ref[0]
+    wy = wy_ref[0]
+    wx = wx_ref[0]
+    dt = v_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    HW = H * W
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, HW), 1)
+    h_of = (iota // W).astype(jnp.float32)
+    w_of = (iota % W).astype(jnp.float32)
+    eq_y0 = h_of == y0
+    eq_y1 = h_of == y0 + 1.0
+    eq_x0 = w_of == x0
+    eq_x1 = w_of == x0 + 1.0
+    C = (jnp.where(eq_y0 & eq_x0, wy[:, 0:1] * wx[:, 0:1], 0.0)
+         + jnp.where(eq_y0 & eq_x1, wy[:, 0:1] * wx[:, 1:2], 0.0)
+         + jnp.where(eq_y1 & eq_x0, wy[:, 1:2] * wx[:, 0:1], 0.0)
+         + jnp.where(eq_y1 & eq_x1, wy[:, 1:2] * wx[:, 1:2], 0.0))
+    o_ref[0] = jnp.dot(C.astype(dt), v_ref[0],
+                       preferred_element_type=jnp.float32,
+                       precision=prec).astype(o_ref.dtype)
+
+
+ONEHOT_MAX_HW = 1024
+
+
 def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
                          attn_w: jax.Array, H: int, W: int) -> jax.Array:
     """value_bm (BM, H, W*D); loc (B, Lq, M, P, 2); attn (B, Lq, M, P).
@@ -130,8 +161,16 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
 
     grid = (BM, n_pad // T)
     out_dt = (jnp.float32 if value_bm.dtype == jnp.float32 else value_bm.dtype)
+    if H * W <= ONEHOT_MAX_HW:
+        kernel = partial(_sample_kernel_onehot, H=H, W=W, D=D, T=T)
+        v_in = value_bm.reshape(BM, H * W, D)
+        v_spec = pl.BlockSpec((1, H * W, D), lambda b, t: (b, 0, 0))
+    else:
+        kernel = partial(_sample_kernel, H=H, W=W, D=D, T=T)
+        v_in = value_bm
+        v_spec = pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0))
     out = pl.pallas_call(
-        partial(_sample_kernel, H=H, W=W, D=D, T=T),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((BM, n_pad, D), out_dt),
         grid=grid,
         in_specs=[
@@ -139,12 +178,12 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
             pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0)),
+            v_spec,
         ],
         out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
-    )(y0b, x0b, wyb, wxb, value_bm)
+    )(y0b, x0b, wyb, wxb, v_in)
 
     out = out[:, :n].reshape(B, M, Lq, P, D).astype(jnp.float32).sum(axis=3)
     return out.transpose(0, 2, 1, 3)  # (B, Lq, M, D)
