@@ -23,11 +23,25 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # optional exponential moving average of params (the reference's wsdm
+    # training keeps EMA weights; `release.py` strips them at export)
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, params, batch_stats, tx):
+    def create(cls, params, batch_stats, tx, ema_decay: float = 0.0):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx,
+                   ema_params=params if ema_decay > 0 else None,
+                   ema_decay=ema_decay)
+
+    def update_ema(self):
+        if self.ema_params is None:
+            return self
+        d = self.ema_decay
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1 - d) * p,
+                                     self.ema_params, self.params)
+        return self.replace(ema_params=ema)
 
 
 def make_seg_train_step(model, aux_weight: float = 0.4,
@@ -54,6 +68,7 @@ def make_seg_train_step(model, aux_weight: float = 0.4,
         params = optax.apply_updates(state.params, updates)
         state = state.replace(step=state.step + 1, params=params,
                               batch_stats=new_stats, opt_state=opt_state)
+        state = state.update_ema()
         logs = dict(logs, loss=loss,
                     grad_norm=optax.global_norm(grads))
         return state, logs
