@@ -22,6 +22,7 @@ model = dict(
         deform_ratio=0.5,
         cffn_ratio=0.25,
         with_cp=True,
+        use_cls_token=False,
         interaction_indexes=[[0, 5], [6, 11], [12, 17], [18, 23]],
         window_attn=([True] * 5 + [True]) * 4,
         window_size=([14] * 5 + [56]) * 4,

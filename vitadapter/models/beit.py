@@ -185,6 +185,9 @@ class BEiT(nn.Module):
     window_size: Sequence[int] | int = 14
     pretrain_size: int = 224
     with_cp: bool = False
+    # seg variant threads a cls token (tables carry 3 cls buckets); the det
+    # windowed variant drops it entirely (reference det `base/beit.py`)
+    use_cls_token: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -222,7 +225,8 @@ class BEiT(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, drop_path=float(dpr[i]),
                 init_values=self.init_values, rel_pos_grid=rp_grid,
-                with_cls=not windowed, windowed=windowed,
+                with_cls=self.use_cls_token and not windowed,
+                windowed=windowed,
                 window_size=int(ws[i] or 14), dtype=self.dtype,
                 name=f"blocks_{i}"))
         self.blocks = blocks
@@ -246,7 +250,8 @@ class BEiT(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         tokens, H, W = self.embed(x, deterministic)
         B = tokens.shape[0]
-        cls = jnp.broadcast_to(self.cls_token.astype(tokens.dtype),
-                               (B, 1, self.embed_dim))
-        tokens = jnp.concatenate([cls, tokens], axis=1)
+        if self.use_cls_token:
+            cls = jnp.broadcast_to(self.cls_token.astype(tokens.dtype),
+                                   (B, 1, self.embed_dim))
+            tokens = jnp.concatenate([cls, tokens], axis=1)
         return self.run_blocks(tokens, H, W, 0, self.depth, deterministic)

@@ -41,6 +41,7 @@ class BEiTAdapter(nn.Module):
     window_attn: Sequence[bool] | bool = False
     window_size: Sequence[int] | int = 14
     with_cp: bool = False
+    use_cls_token: bool = True  # det windowed variant sets False
     # adapter knobs
     conv_inplane: int = 64
     n_points: int = 4
@@ -63,7 +64,8 @@ class BEiTAdapter(nn.Module):
             use_abs_pos_emb=self.use_abs_pos_emb,
             use_rel_pos_bias=self.use_rel_pos_bias,
             window_attn=self.window_attn, window_size=self.window_size,
-            with_cp=self.with_cp, dtype=self.dtype)
+            with_cp=self.with_cp, use_cls_token=self.use_cls_token,
+            dtype=self.dtype)
         self.level_embed = self.param("level_embed",
                                       nn.initializers.normal(1.0),
                                       (3, self.embed_dim), jnp.float32)
@@ -102,20 +104,23 @@ class BEiTAdapter(nn.Module):
 
         t, H, W = self.beit.embed(x, deterministic=det)
         dim = t.shape[-1]
-        cls = jnp.broadcast_to(self.beit.cls_token.astype(t.dtype),
-                               (B, 1, dim))
+        cls = (jnp.broadcast_to(self.beit.cls_token.astype(t.dtype),
+                                (B, 1, dim)) if self.use_cls_token else None)
 
         outs = []
         for i, layer in enumerate(self.interactions):
             a, b = self.interaction_indexes[i]
 
-            def blocks_fn(tokens, _a=a, _b=b, _cls=None):
-                # cls rides along the trunk blocks only
-                tokens = jnp.concatenate([blocks_fn.cls, tokens], axis=1)
+            def blocks_fn(tokens, _a=a, _b=b):
+                # cls (seg variant) rides along the trunk blocks only
+                if blocks_fn.cls is not None:
+                    tokens = jnp.concatenate([blocks_fn.cls, tokens], axis=1)
                 tokens = self.beit.run_blocks(tokens, H, W, _a, _b + 1,
                                               deterministic=det)
-                blocks_fn.cls = tokens[:, :1]
-                return tokens[:, 1:]
+                if blocks_fn.cls is not None:
+                    blocks_fn.cls = tokens[:, :1]
+                    return tokens[:, 1:]
+                return tokens
 
             blocks_fn.cls = cls
             t, c = layer(t, c, blocks_fn, injector_inputs, extractor_inputs,
@@ -129,7 +134,10 @@ class BEiTAdapter(nn.Module):
         c1 = self.up(c2) + c1
 
         if self.add_vit_feature:
-            x1, x2, x3, x4 = outs
+            if len(outs) == 4:
+                x1, x2, x3, x4 = outs
+            else:  # version='old' behavior: broadcast the final map
+                x1 = x2 = x3 = x4 = outs[-1]
             x1 = resize_2d(x1, (H * 4, W * 4), "bilinear")
             x2 = resize_2d(x2, (H * 2, W * 2), "bilinear")
             x4 = resize_2d(x4, (H // 2, W // 2), "bilinear")
