@@ -14,6 +14,7 @@ def main():
     p.add_argument("checkpoint")
     p.add_argument("--out-file", default="demo_out.png")
     p.add_argument("--score-thr", type=float, default=0.3)
+    p.add_argument("--cfg-options", nargs="+", default=None)
     args = p.parse_args()
 
     import jax
@@ -26,7 +27,10 @@ def main():
     from vitadapter.utils.config import Config
     import test as test_cli
 
+    from vitadapter.utils.config import parse_cfg_options
+
     cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(parse_cfg_options(args.cfg_options))
     model = build_model(dict(cfg.model))
     variables = test_cli.load_variables(args.checkpoint, cfg)
 
