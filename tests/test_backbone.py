@@ -119,3 +119,23 @@ def test_vit_baseline_trunk_runs():
     vars_ = vit.init(jax.random.PRNGKey(0), x)
     out = vit.apply(vars_, x)
     assert out.shape == (1, 16, 48)
+
+
+def test_vit_adapter_remat_path():
+    """with_cp=True (gradient checkpointing) must produce finite grads."""
+    model = ViTAdapter(patch_size=16, embed_dim=48, depth=2, num_heads=4,
+                       deform_num_heads=4, conv_inplane=16, with_cp=True,
+                       interaction_indexes=((0, 0), (1, 1)))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    vars_ = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+
+    def loss(p):
+        feats, _ = model.apply(
+            {"params": p, "batch_stats": vars_["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return sum(jnp.mean(f ** 2) for f in feats)
+
+    g = jax.jit(jax.grad(loss))(vars_["params"])
+    assert all(np.isfinite(np.asarray(t)).all()
+               for t in jax.tree_util.tree_leaves(g))
