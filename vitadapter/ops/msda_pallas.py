@@ -89,13 +89,13 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
 
 
 def _sample_kernel_onehot(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
-                          *, H, W, D, T):
+                          *, H, W, D, T, G):
     """Small-level variant (H*W <= 1024): one (T, HW) combined one-hot and a
-    single K=HW matmul — avoids the poorly-utilized tiny-K chunk matmuls."""
-    y0 = y0_ref[0]
-    x0 = x0_ref[0]
-    wy = wy_ref[0]
-    wx = wx_ref[0]
+    single K=HW matmul — avoids the poorly-utilized tiny-K chunk matmuls.
+
+    Processes G (batch*head) slices per program to amortize fixed per-program
+    costs; iota fields are shared across the group.
+    """
     dt = v_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -103,17 +103,26 @@ def _sample_kernel_onehot(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, HW), 1)
     h_of = (iota // W).astype(jnp.float32)
     w_of = (iota % W).astype(jnp.float32)
-    eq_y0 = h_of == y0
-    eq_y1 = h_of == y0 + 1.0
-    eq_x0 = w_of == x0
-    eq_x1 = w_of == x0 + 1.0
-    C = (jnp.where(eq_y0 & eq_x0, wy[:, 0:1] * wx[:, 0:1], 0.0)
-         + jnp.where(eq_y0 & eq_x1, wy[:, 0:1] * wx[:, 1:2], 0.0)
-         + jnp.where(eq_y1 & eq_x0, wy[:, 1:2] * wx[:, 0:1], 0.0)
-         + jnp.where(eq_y1 & eq_x1, wy[:, 1:2] * wx[:, 1:2], 0.0))
-    o_ref[0] = jnp.dot(C.astype(dt), v_ref[0],
-                       preferred_element_type=jnp.float32,
-                       precision=prec).astype(o_ref.dtype)
+
+    def body(g, _):
+        y0 = y0_ref[g]
+        x0 = x0_ref[g]
+        wy = wy_ref[g]
+        wx = wx_ref[g]
+        eq_y0 = h_of == y0
+        eq_y1 = h_of == y0 + 1.0
+        eq_x0 = w_of == x0
+        eq_x1 = w_of == x0 + 1.0
+        C = (jnp.where(eq_y0 & eq_x0, wy[:, 0:1] * wx[:, 0:1], 0.0)
+             + jnp.where(eq_y0 & eq_x1, wy[:, 0:1] * wx[:, 1:2], 0.0)
+             + jnp.where(eq_y1 & eq_x0, wy[:, 1:2] * wx[:, 0:1], 0.0)
+             + jnp.where(eq_y1 & eq_x1, wy[:, 1:2] * wx[:, 1:2], 0.0))
+        o_ref[g] = jnp.dot(C.astype(dt), v_ref[g],
+                           preferred_element_type=jnp.float32,
+                           precision=prec).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
 
 
 ONEHOT_MAX_HW = 1024
@@ -159,28 +168,32 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
         wyb = jnp.pad(wyb, pad)
         wxb = jnp.pad(wxb, pad)
 
-    grid = (BM, n_pad // T)
     out_dt = (jnp.float32 if value_bm.dtype == jnp.float32 else value_bm.dtype)
     if H * W <= ONEHOT_MAX_HW:
-        kernel = partial(_sample_kernel_onehot, H=H, W=W, D=D, T=T)
+        # G>1 grouping was measured neutral (kernel is compute-bound, not
+        # program-overhead-bound); keep 1 for the smallest VMEM footprint
+        G = 1
+        kernel = partial(_sample_kernel_onehot, H=H, W=W, D=D, T=T, G=G)
         v_in = value_bm.reshape(BM, H * W, D)
-        v_spec = pl.BlockSpec((1, H * W, D), lambda b, t: (b, 0, 0))
+        v_spec = pl.BlockSpec((G, H * W, D), lambda b, t: (b, 0, 0))
     else:
+        G = 1
         kernel = partial(_sample_kernel, H=H, W=W, D=D, T=T)
         v_in = value_bm
         v_spec = pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0))
+    grid = (BM // G, n_pad // T)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((BM, n_pad, D), out_dt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((G, T, 1), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((G, T, 1), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((G, T, 2), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((G, T, 2), lambda b, t: (b, t, 0)),
             v_spec,
         ],
-        out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+        out_specs=pl.BlockSpec((G, T, D), lambda b, t: (b, t, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(y0b, x0b, wyb, wxb, v_in)
