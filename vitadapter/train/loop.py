@@ -83,10 +83,15 @@ def run_training(cfg, work_dir: str, resume: bool = False,
     batch = cfg.data.get("samples_per_chip", 2) * n_dev
     total = max_iters or cfg.runner["max_iters"]
 
+    is_m2f = cfg.model["type"] == "EncoderDecoderMask2Former"
     init_img = jnp.zeros((batch, *crop, 3), jnp.float32)
-    variables = jax.jit(
-        lambda k, x: model.init(k, x, with_aux=True))(jax.random.PRNGKey(0),
-                                                      normalize(init_img))
+    if is_m2f:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        normalize(init_img))
+    else:
+        variables = jax.jit(
+            lambda k, x: model.init(k, x, with_aux=True))(
+                jax.random.PRNGKey(0), normalize(init_img))
     opt = cfg.optimizer
     tx, schedule = make_optimizer(
         variables["params"], base_lr=opt["lr"],
@@ -105,7 +110,16 @@ def run_training(cfg, work_dir: str, resume: bool = False,
         state = restore_checkpoint(ckpt_dir, state)
         log_fn(f"resumed from step {start}")
 
-    raw_step = make_seg_train_step(model, cfg.get("aux_loss_weight", 0.4))
+    if is_m2f:
+        from vitadapter.train.trainer import make_m2f_train_step
+
+        tc = cfg.get("train_cfg", {})
+        raw_step = make_m2f_train_step(
+            model, num_classes=num_classes,
+            max_instances=tc.get("max_instances", 60),
+            num_points=tc.get("num_points", 12544))
+    else:
+        raw_step = make_seg_train_step(model, cfg.get("aux_loss_weight", 0.4))
 
     def step_fn(state, image, label, rng):
         img = normalize(image)

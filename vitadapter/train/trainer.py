@@ -44,6 +44,41 @@ class TrainState(struct.PyTreeNode):
         return self.replace(ema_params=ema)
 
 
+def make_m2f_train_step(model, num_classes: int, max_instances: int = 60,
+                        num_points: int = 12544) -> Callable:
+    """Train step for EncoderDecoderMask2Former: per-layer Hungarian-matched
+    cls + point-sampled mask/dice losses (reference Mask2FormerHead.loss)."""
+    from vitadapter.heads.mask2former_loss import mask2former_loss
+
+    def train_step(state: TrainState, batch, rng):
+        r_drop, r_loss = jax.random.split(rng)
+
+        def loss_fn(params):
+            (cls_list, mask_list), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": r_drop})
+            loss, logs = mask2former_loss(
+                r_loss, cls_list, mask_list, batch["label"],
+                num_classes=num_classes, max_instances=max_instances,
+                num_points=num_points)
+            return loss, (logs, updates["batch_stats"])
+
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + 1, params=params,
+                              batch_stats=new_stats, opt_state=opt_state)
+        state = state.update_ema()
+        logs = {k: v for k, v in logs.items() if not k.startswith("d")}
+        logs = dict(logs, loss=loss, grad_norm=optax.global_norm(grads))
+        return state, logs
+
+    return train_step
+
+
 def make_seg_train_step(model, aux_weight: float = 0.4,
                         ignore_index: int = 255) -> Callable:
     """Returns jittable train_step(state, batch, rng) -> (state, logs).
