@@ -39,16 +39,17 @@ def build_det_dataset(data_cfg: Dict[str, Any], split: str,
                os.path.join(root, sub["img_dir"]), **kwargs)
 
 
-def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0
-                      ) -> Iterator[Dict[str, np.ndarray]]:
+def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0,
+                      tokenizer=None) -> Iterator[Dict[str, np.ndarray]]:
     rng = np.random.RandomState(seed)
     ch, cw = data_cfg["crop_size"]
     max_inst = data_cfg.get("max_instances", 100)
+    max_sent = data_cfg.get("max_sent_len", 128)
     n = len(dataset)
     order = rng.permutation(n)
     pos = 0
     while True:
-        imgs, targets = [], []
+        imgs, targets, refs = [], [], []
         for _ in range(batch_size):
             if pos >= n:
                 order = rng.permutation(n)
@@ -92,6 +93,9 @@ def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0
             t2["masks"] = masks[keep] if masks is not None else None
             targets.append(pad_targets(t2, max_inst))
             imgs.append(img2)
+            if tokenizer is not None:
+                refs.append(tokenizer.tokenize_refer(
+                    t.get("question", ""), max_sent))
         batch = {"image": np.stack(imgs).astype(np.float32),
                  "gt_boxes": np.stack([t["boxes"] for t in targets]),
                  "gt_labels": np.stack([t["labels"] for t in targets]),
@@ -99,6 +103,9 @@ def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0
         if targets[0].get("masks") is not None:
             batch["gt_masks"] = np.stack(
                 [t["masks"] for t in targets]).astype(np.float32)
+        if tokenizer is not None:
+            batch["refer"] = np.asarray([r[0] for r in refs], np.int32)
+            batch["r_mask"] = np.asarray([r[1] for r in refs], np.int32)
         yield batch
 
 
@@ -113,8 +120,15 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
     total = max_iters or cfg.get("runner", {}).get("max_iters", 90000)
 
     init_img = jnp.zeros((batch, ch, cw, 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    normalize(init_img))
+    max_sent = cfg.data.get("max_sent_len", 128)
+    if cfg.model["type"] == "GroundingDINO":
+        ids0 = jnp.zeros((batch, max_sent), jnp.int32)
+        variables = jax.jit(
+            lambda k, x: model.init(k, x, ids0, ids0))(
+                jax.random.PRNGKey(0), normalize(init_img))
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        normalize(init_img))
     opt = cfg.optimizer
     tx, schedule = make_optimizer(
         variables["params"], base_lr=opt["lr"],
@@ -127,6 +141,7 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
     state = replicate(mesh, state)
 
     needs_masks = cfg.model["type"] in ("MaskRCNN", "CascadeRCNN")
+    is_grounding = cfg.model["type"] == "GroundingDINO"
 
     def step_fn(state, batch, rng):
         def loss_fn(params):
@@ -135,9 +150,12 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
                           gt_valid=batch["gt_valid"], rng=rng)
             if needs_masks:
                 kwargs["gt_masks"] = batch["gt_masks"]
+            args = (normalize(batch["image"]),)
+            if is_grounding:
+                args = args + (batch["refer"], batch["r_mask"])
             losses, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                normalize(batch["image"]), mutable=["batch_stats"],
+                *args, mutable=["batch_stats"],
                 rngs={"dropout": rng}, **kwargs)
             return losses["loss"], (losses, updates["batch_stats"])
 
@@ -167,11 +185,21 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
                 if needs_masks:
                     b["gt_masks"] = (rng.rand(batch, g, ch, cw) > 0.5
                                      ).astype(np.float32)
+                if is_grounding:
+                    vocab = cfg.model.get("backbone", {}).get(
+                        "vocab_size", 49411)
+                    b["refer"] = rng.randint(
+                        0, vocab, (batch, max_sent)).astype(np.int32)
+                    b["r_mask"] = np.ones((batch, max_sent), np.int32)
                 yield b
         it = synth()
     else:
         ds = build_det_dataset(cfg.data, "train", with_masks=needs_masks)
-        it = det_train_batches(ds, cfg.data, batch)
+        tok = None
+        if is_grounding:
+            from vitadapter.data.tokenization import ClipTokenizer
+            tok = ClipTokenizer(cfg.data.get("bpe_vocab"))
+        it = det_train_batches(ds, cfg.data, batch, tokenizer=tok)
 
     rng = jax.random.PRNGKey(1)
     ckpt_dir = os.path.join(work_dir, "ckpt")
