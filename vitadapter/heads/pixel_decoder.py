@@ -51,6 +51,28 @@ class DeformableEncoderLayer(nn.Module):
         return x
 
 
+class _ScanEncoderLayer(nn.Module):
+    """nn.scan body wrapping DeformableEncoderLayer: the 6 encoder layers are
+    identical programs, so they run as ONE traced layer with stacked (L, ...)
+    params — 6x smaller jit module (each unrolled layer would embed its own
+    serialized Pallas MSDA kernels) and 6x faster compiles."""
+
+    num_heads: int
+    n_levels: int
+    n_points: int
+    ffn_dim: int
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, ref):
+        x = DeformableEncoderLayer(
+            num_heads=self.num_heads, n_levels=self.n_levels,
+            n_points=self.n_points, ffn_dim=self.ffn_dim, dtype=self.dtype,
+            name="layer")(x, pos, ref, self.spatial_shapes)
+        return x, None
+
+
 class ConvGN(nn.Module):
     """Conv + GroupNorm(32) (mmcv ConvModule with GN, act optional)."""
 
@@ -123,11 +145,16 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ref = jnp.broadcast_to(ref, (B, ref.shape[1], L, 2))
         spatial_shapes = tuple(shapes)
 
-        for li in range(self.num_layers):
-            x = DeformableEncoderLayer(
-                num_heads=self.num_heads, n_levels=L, n_points=self.n_points,
-                ffn_dim=self.ffn_dim, dtype=self.dtype,
-                name=f"encoder_layer_{li}")(x, pos, ref, spatial_shapes)
+        scan = nn.scan(
+            _ScanEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+            in_axes=(nn.broadcast, nn.broadcast))
+        x, _ = scan(num_heads=self.num_heads, n_levels=L,
+                    n_points=self.n_points, ffn_dim=self.ffn_dim,
+                    spatial_shapes=spatial_shapes, dtype=self.dtype,
+                    name="encoder_layers")(x, pos, ref)
 
         # split back to maps, coarse -> fine
         outs = []
