@@ -13,10 +13,12 @@ over W-chunks + a VPU weighted reduction. Out-of-bounds samples vanish
 automatically (their one-hot rows are all-zero), reproducing grid_sample
 zero padding.
 
-Backward reuses the XLA block-gather VJP (identical math); dedicated
-backward kernels are a later optimization.
+Backward: grad_value via a dedicated Pallas contraction kernel (`_dv_kernel`,
+fp32-accumulating, scatter-free); grad wrt locations/weights via the XLA VJP
+of the gather-only block formulation.
 """
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -29,7 +31,11 @@ from vitadapter.ops.msda import (SpatialShapes, level_start_index,
                                  ms_deform_attn_block)
 
 TILE = 1024            # samples per program; TILE/128 must be divisible by 8
-CHUNK_COLS = 512       # W*D columns of V contracted per MXU step
+CHUNK_COLS = 512       # W*D columns of V contracted per MXU step (forward)
+DV_CHUNK_COLS = 256    # chunk width for the grad_value kernel (see _dv_kernel)
+# escape hatch: set VITADAPTER_MSDA_PFOLD=0 to route small levels through the
+# per-sample chunked kernel instead of the P-folded one-hot kernel
+_PFOLD = os.environ.get("VITADAPTER_MSDA_PFOLD", "1") == "1"
 
 
 def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
@@ -88,41 +94,46 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _sample_kernel_onehot(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
-                          *, H, W, D, T, G):
-    """Small-level variant (H*W <= 1024): one (T, HW) combined one-hot and a
-    single K=HW matmul — avoids the poorly-utilized tiny-K chunk matmuls.
+def _sample_kernel_onehot_pf(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
+                             *, H, W, D, T, P):
+    """Small-level variant (H*W small): all P points of a query are folded
+    into ONE combined (T, HW) one-hot row (bilinear sampling is linear, so
+    point contributions add), and the program tiles queries rather than
+    samples — 4x fewer programs, ONE K=HW matmul per tile instead of P, and
+    no P-sum epilogue.
 
-    Processes G (batch*head) slices per program to amortize fixed per-program
-    costs; iota fields are shared across the group.
+    Block shapes: y0/x0 (1, T, P); wy/wx (1, T, 2P) with point p's weight
+    pair at columns 2p, 2p+1; v (1, HW, D); o (1, T, D).
     """
     dt = v_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
     HW = H * W
+    # (T, HW) intermediates live in the value dtype: fp32 ones at HW=1024
+    # blow the 16M scoped-vmem limit, and the bf16 path already rounds the
+    # bilinear weights to bf16 (same as the per-sample kernels). H, W and
+    # the integer-valued coords are < 256, exactly representable in bf16.
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, HW), 1)
-    h_of = (iota // W).astype(jnp.float32)
-    w_of = (iota % W).astype(jnp.float32)
-
-    def body(g, _):
-        y0 = y0_ref[g]
-        x0 = x0_ref[g]
-        wy = wy_ref[g]
-        wx = wx_ref[g]
-        eq_y0 = h_of == y0
-        eq_y1 = h_of == y0 + 1.0
-        eq_x0 = w_of == x0
-        eq_x1 = w_of == x0 + 1.0
-        C = (jnp.where(eq_y0 & eq_x0, wy[:, 0:1] * wx[:, 0:1], 0.0)
-             + jnp.where(eq_y0 & eq_x1, wy[:, 0:1] * wx[:, 1:2], 0.0)
-             + jnp.where(eq_y1 & eq_x0, wy[:, 1:2] * wx[:, 0:1], 0.0)
-             + jnp.where(eq_y1 & eq_x1, wy[:, 1:2] * wx[:, 1:2], 0.0))
-        o_ref[g] = jnp.dot(C.astype(dt), v_ref[g],
-                           preferred_element_type=jnp.float32,
-                           precision=prec).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, G, body, 0)
+    h_of = (iota // W).astype(dt)
+    w_of = (iota % W).astype(dt)
+    y0 = y0_ref[0]
+    x0 = x0_ref[0]
+    wy = wy_ref[0]
+    wx = wx_ref[0]
+    zero = jnp.zeros((), dt)
+    C = jnp.zeros((T, HW), dt)
+    for p in range(P):
+        y0p = y0[:, p:p + 1].astype(dt)
+        wyp = wy[:, 2 * p:2 * p + 2].astype(dt)
+        Cy = jnp.where(h_of == y0p, wyp[:, 0:1],
+                       jnp.where(h_of == y0p + 1, wyp[:, 1:2], zero))
+        x0p = x0[:, p:p + 1].astype(dt)
+        wxp = wx[:, 2 * p:2 * p + 2].astype(dt)
+        Cx = jnp.where(w_of == x0p, wxp[:, 0:1],
+                       jnp.where(w_of == x0p + 1, wxp[:, 1:2], zero))
+        C = C + Cy * Cx
+    o_ref[0] = jnp.dot(C, v_ref[0], preferred_element_type=jnp.float32,
+                       precision=prec).astype(o_ref.dtype)
 
 
 ONEHOT_MAX_HW = 1024
@@ -151,6 +162,46 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
     wy = jnp.stack([1 - ly, ly], -1)                    # (B, Lq, M, P, 2)
     wx = jnp.stack([(1 - lx) * a, lx * a], -1)
 
+    out_dt = (jnp.float32 if value_bm.dtype == jnp.float32 else value_bm.dtype)
+    # fp32 needs fp32 (T, HW) intermediates in the P-folded kernel — halve
+    # the HW cutoff to stay under the scoped-vmem limit
+    onehot_max = (ONEHOT_MAX_HW if value_bm.dtype != jnp.float32
+                  else ONEHOT_MAX_HW // 2)
+    if _PFOLD and H * W <= onehot_max:
+        # per-QUERY tiling: all P points folded into one one-hot row
+        def to_bmq(t):
+            t = jnp.moveaxis(t, 2, 1)                    # (B, M, Lq, ...)
+            return t.reshape((BM, Lq, -1))
+
+        y0q = to_bmq(y0)            # (BM, Lq, P)
+        x0q = to_bmq(x0)
+        wyq = to_bmq(wy)            # (BM, Lq, 2P): [p0w0 p0w1 p1w0 ...]
+        wxq = to_bmq(wx)
+        nq_pad = -(-Lq // T) * T
+        if nq_pad != Lq:
+            pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+            y0q = jnp.pad(y0q, pad, constant_values=-7)
+            x0q = jnp.pad(x0q, pad, constant_values=-7)
+            wyq = jnp.pad(wyq, pad)
+            wxq = jnp.pad(wxq, pad)
+        out = pl.pallas_call(
+            partial(_sample_kernel_onehot_pf, H=H, W=W, D=D, T=T, P=P),
+            out_shape=jax.ShapeDtypeStruct((BM, nq_pad, D), out_dt),
+            grid=(BM, nq_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, T, P), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, P), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 2 * P), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 2 * P), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, H * W, D), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+        )(y0q, x0q, wyq, wxq, value_bm.reshape(BM, H * W, D))
+        out = out[:, :Lq].reshape(B, M, Lq, D).astype(jnp.float32)
+        return out.transpose(0, 2, 1, 3)  # (B, Lq, M, D)
+
     def to_bm(t):
         t = jnp.moveaxis(t, 2, 1)                        # (B, M, Lq, P, ...)
         return t.reshape((BM, n) + t.shape[4:])
@@ -168,35 +219,21 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
         wyb = jnp.pad(wyb, pad)
         wxb = jnp.pad(wxb, pad)
 
-    out_dt = (jnp.float32 if value_bm.dtype == jnp.float32 else value_bm.dtype)
-    if H * W <= ONEHOT_MAX_HW:
-        # G>1 grouping was measured neutral (kernel is compute-bound, not
-        # program-overhead-bound); keep 1 for the smallest VMEM footprint
-        G = 1
-        kernel = partial(_sample_kernel_onehot, H=H, W=W, D=D, T=T, G=G)
-        v_in = value_bm.reshape(BM, H * W, D)
-        v_spec = pl.BlockSpec((G, H * W, D), lambda b, t: (b, 0, 0))
-    else:
-        G = 1
-        kernel = partial(_sample_kernel, H=H, W=W, D=D, T=T)
-        v_in = value_bm
-        v_spec = pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0))
-    grid = (BM // G, n_pad // T)
     out = pl.pallas_call(
-        kernel,
+        partial(_sample_kernel, H=H, W=W, D=D, T=T),
         out_shape=jax.ShapeDtypeStruct((BM, n_pad, D), out_dt),
-        grid=grid,
+        grid=(BM, n_pad // T),
         in_specs=[
-            pl.BlockSpec((G, T, 1), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((G, T, 1), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((G, T, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((G, T, 2), lambda b, t: (b, t, 0)),
-            v_spec,
+            pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((G, T, D), lambda b, t: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
-    )(y0b, x0b, wyb, wxb, v_in)
+    )(y0b, x0b, wyb, wxb, value_bm)
 
     out = out[:, :n].reshape(B, M, Lq, P, D).astype(jnp.float32).sum(axis=3)
     return out.transpose(0, 2, 1, 3)  # (B, Lq, M, D)
@@ -223,7 +260,10 @@ def _forward(value, spatial_shapes: SpatialShapes, sampling_locations,
 def ms_deform_attn_pallas(value, spatial_shapes: SpatialShapes,
                           sampling_locations, attention_weights):
     """MSDA sampling via the Pallas contraction kernel (forward); backward
-    runs the XLA block-gather VJP (identical math)."""
+    computes grad_value with a Pallas MXU contraction (fp32 accumulate, no
+    scatter — deterministic, unlike the CUDA atomicAdd col2im in reference
+    `ms_deform_im2col_cuda.cuh:846-922`) and grad wrt sampling locations /
+    attention weights via the XLA VJP of the gather-only block formulation."""
     return _forward(value, spatial_shapes, sampling_locations,
                     attention_weights)
 
@@ -234,12 +274,147 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
     return out, (value, sampling_locations, attention_weights)
 
 
+def _dv_kernel(y0_ref, x0_ref, wy_ref, wx_ref, g_ref, dv_ref, *, H, W, D, T):
+    """grad_value accumulation: dV += Wy^T @ (WxD ⊙ repeat(g)).
+
+    Replaces the XLA scatter-add (the CUDA kernel's atomicAdd col2im path,
+    reference `ms_deform_im2col_cuda.cuh:846-922`) with an MXU contraction;
+    deterministic by construction. Output block is revisited across query
+    tiles (accumulate), zero-initialized at t == 0.
+    """
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    y0 = y0_ref[0]
+    x0 = x0_ref[0]
+    wy = wy_ref[0]
+    wx = wx_ref[0]
+    g = g_ref[0]            # (T, D) fp32
+    dt = dv_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (T, H), 1).astype(jnp.float32)
+    Wy = jnp.where(iota_h == y0, wy[:, 0:1],
+                   jnp.where(iota_h == y0 + 1.0, wy[:, 1:2], 0.0))
+    cols = W * D
+    # narrower chunks than the forward: the accumulating out block is VMEM-
+    # resident on top of the chunk temporaries, and 512-wide chunks put the
+    # kernel ~2M over the 16M scoped-vmem limit inside big train-step modules
+    n_chunks = max(1, -(-cols // DV_CHUNK_COLS))
+    cc = cols // n_chunks
+    wc = cc // D
+    iw = jax.lax.broadcasted_iota(jnp.int32, (wc, cc), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (wc, cc), 1)
+    E = (iw == ic // D).astype(jnp.float32)
+    # replicate g across W positions via a matmul (pltpu.repeat on a D<128
+    # array pads every repeat unit to a full 128-lane tile -> VMEM OOM)
+    ird = jax.lax.broadcasted_iota(jnp.int32, (D, cc), 0)
+    irc = jax.lax.broadcasted_iota(jnp.int32, (D, cc), 1)
+    Rrep = (ird == irc % D).astype(jnp.float32)
+    g_rep = jnp.dot(g, Rrep, preferred_element_type=jnp.float32,
+                    precision=prec)       # (T, cc): [g g ... g]
+    iota_wc = jax.lax.broadcasted_iota(jnp.int32, (T, wc), 1)
+
+    def chunk_body(c, _):
+        wg = (iota_wc + c * wc).astype(jnp.float32)
+        wxc = jnp.where(wg == x0, wx[:, 0:1],
+                        jnp.where(wg == x0 + 1.0, wx[:, 1:2], 0.0))
+        wxd = jnp.dot(wxc, E, preferred_element_type=jnp.float32,
+                      precision=prec)
+        # contract over T: dV_chunk[h, c] = sum_t Wy[t, h] * rhs[t, c]
+        rhs = (wxd * g_rep).astype(dt)
+        contrib = jax.lax.dot_general(
+            Wy.astype(dt), rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (H, cc)
+        cur = dv_ref[0, :, pl.ds(c * cc, cc)]
+        dv_ref[0, :, pl.ds(c * cc, cc)] = (
+            cur + contrib.astype(dv_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _grad_value_pallas(spatial_shapes, value_shape, loc, attn, g):
+    """Assemble grad_value via per-level dV kernels. g: (B, Lq, M*D) fp32."""
+    B, S, M, D = value_shape
+    Lq = loc.shape[1]
+    T = TILE
+    g4 = g.reshape(B, Lq, M, D).astype(jnp.float32)
+    parts = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        locl = loc[:, :, :, lvl].astype(jnp.float32)
+        attl = attn[:, :, :, lvl].astype(jnp.float32)
+        P = locl.shape[3]
+        n = Lq * P
+        x = locl[..., 0] * W - 0.5
+        y = locl[..., 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        wy = jnp.stack([1 - ly, ly], -1)
+        wx = jnp.stack([(1 - lx) * attl, lx * attl], -1)
+
+        BM = B * M
+
+        def to_bm(t):
+            t = jnp.moveaxis(t, 2, 1)
+            return t.reshape((BM, n) + t.shape[4:])
+
+        y0b = to_bm(y0[..., None])
+        x0b = to_bm(x0[..., None])
+        wyb = to_bm(wy)
+        wxb = to_bm(wx)
+        # g per sample: repeat each query's grad across its P points
+        gb = jnp.moveaxis(g4, 2, 1).reshape(BM, Lq, 1, D)
+        gb = jnp.broadcast_to(gb, (BM, Lq, P, D)).reshape(BM, n, D)
+
+        n_pad = -(-n // T) * T
+        if n_pad != n:
+            pad3 = ((0, 0), (0, n_pad - n), (0, 0))
+            y0b = jnp.pad(y0b, pad3, constant_values=-7)
+            x0b = jnp.pad(x0b, pad3, constant_values=-7)
+            wyb = jnp.pad(wyb, pad3)
+            wxb = jnp.pad(wxb, pad3)
+            gb = jnp.pad(gb, pad3)
+
+        dv = pl.pallas_call(
+            partial(_dv_kernel, H=H, W=W, D=D, T=T),
+            out_shape=jax.ShapeDtypeStruct((BM, H, W * D), jnp.float32),
+            grid=(BM, n_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(y0b, x0b, wyb, wxb, gb)
+        # (BM, H, W*D) -> (B, H*W, M, D)
+        dv = dv.reshape(B, M, H, W, D).transpose(0, 2, 3, 1, 4)
+        parts.append(dv.reshape(B, H * W, M, D))
+    return jnp.concatenate(parts, axis=1)
+
+
 def _bwd(spatial_shapes, res, g):
     value, loc, attn = res
+    # grad_value: Pallas contraction kernel (no scatter); grad wrt sampling
+    # locations / attention weights: XLA VJP of the block formulation with
+    # the value closed over (gather-only, no scatter).
+    dv = _grad_value_pallas(spatial_shapes, value.shape, loc, attn,
+                            g.astype(jnp.float32)).astype(value.dtype)
     _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_block(v, spatial_shapes, l, a),
-        value, loc, attn)
-    return vjp(g)
+        lambda l, a: ms_deform_attn_block(value, spatial_shapes, l, a),
+        loc, attn)
+    dloc, dattn = vjp(g)
+    return dv, dloc, dattn
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
