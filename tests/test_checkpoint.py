@@ -193,3 +193,115 @@ def test_unwrap_state_dict_roots_and_prefixes():
     assert ckpt.unwrap_state_dict({"state_dict": inner}) == {
         "pos_embed": 1, "blocks.0.w": 2}
     assert ckpt.unwrap_state_dict({"model": inner})["pos_embed"] == 1
+
+
+def _torch_m2f_head_sd(params, n_dec, n_enc):
+    """Build a reference-named (mmseg Mask2FormerHead) state_dict whose
+    shapes invert our flax tree; values random except encoder weights,
+    which are layer-constant to assert stacking order."""
+    sd = {}
+    d = "decode_head."
+
+    def dense_inv(dst, kernel, bias=True):
+        sd[dst + ".weight"] = torch.randn(*np.asarray(kernel).T.shape)
+        if bias:
+            sd[dst + ".bias"] = torch.randn(np.asarray(kernel).shape[1])
+
+    def ln_inv(dst, scale):
+        sd[dst + ".weight"] = torch.randn(*np.asarray(scale).shape)
+        sd[dst + ".bias"] = torch.randn(*np.asarray(scale).shape)
+
+    def convgn_inv(dst, sub):
+        k = np.asarray(sub["conv"]["kernel"])
+        sd[dst + ".conv.weight"] = torch.randn(*k.transpose(3, 2, 0, 1).shape)
+        if "bias" in sub["conv"]:
+            sd[dst + ".conv.bias"] = torch.randn(k.shape[3])
+        ln_inv(dst + ".gn", sub["gn"]["scale"])
+
+    for name in ("query_embed", "query_feat", "level_embed"):
+        sd[f"{d}{name}.weight"] = torch.randn(*np.asarray(params[name]).shape)
+    dense_inv(d + "cls_embed", params["cls_embed"]["kernel"])
+    for i, t_idx in enumerate((0, 2, 4)):
+        dense_inv(f"{d}mask_embed.{t_idx}",
+                  params[f"mask_embed_{i}"]["kernel"])
+    ln_inv(d + "transformer_decoder.post_norm",
+           params["post_norm"]["scale"])
+    C = np.asarray(params["query_embed"]).shape[1]
+    for i in range(n_dec):
+        src = f"{d}transformer_decoder.layers.{i}"
+        for a in (0, 1):
+            sd[f"{src}.attentions.{a}.attn.in_proj_weight"] = torch.randn(3 * C, C)
+            sd[f"{src}.attentions.{a}.attn.in_proj_bias"] = torch.randn(3 * C)
+            sd[f"{src}.attentions.{a}.attn.out_proj.weight"] = torch.randn(C, C)
+            sd[f"{src}.attentions.{a}.attn.out_proj.bias"] = torch.randn(C)
+        lp = params[f"decoder_layer_{i}"]
+        for j in (0, 1, 2):
+            ln_inv(f"{src}.norms.{j}", lp[f"norm{j + 1}"]["scale"])
+        dense_inv(f"{src}.ffns.0.layers.0.0", lp["ffn_fc1"]["kernel"])
+        dense_inv(f"{src}.ffns.0.layers.1", lp["ffn_fc2"]["kernel"])
+
+    pd = d + "pixel_decoder."
+    pp = params["pixel_decoder"]
+    sd[pd + "level_encoding.weight"] = torch.randn(
+        *np.asarray(pp["level_encoding"]).shape)
+    i = 0
+    while f"input_conv_{i}" in pp:
+        convgn_inv(f"{pd}input_convs.{i}", pp[f"input_conv_{i}"])
+        i += 1
+    i = 0
+    while f"lateral_conv_{i}" in pp:
+        convgn_inv(f"{pd}lateral_convs.{i}", pp[f"lateral_conv_{i}"])
+        convgn_inv(f"{pd}output_convs.{i}", pp[f"output_conv_{i}"])
+        i += 1
+    mk = np.asarray(pp["mask_feature"]["kernel"])
+    sd[pd + "mask_feature.weight"] = torch.randn(*mk.transpose(3, 2, 0, 1).shape)
+    sd[pd + "mask_feature.bias"] = torch.randn(mk.shape[3])
+
+    enc = pp["encoder_layers"]["layer"]
+    for li in range(n_enc):
+        src = f"{pd}encoder.layers.{li}"
+        for name in ("sampling_offsets", "attention_weights", "value_proj",
+                     "output_proj"):
+            k = np.asarray(enc["attn"][name]["kernel"])[li]
+            # layer-constant fill: converter must keep layer order
+            sd[f"{src}.attentions.0.{name}.weight"] = torch.full(
+                tuple(k.T.shape), float(li))
+            sd[f"{src}.attentions.0.{name}.bias"] = torch.full(
+                (k.shape[1],), float(li))
+        for j, norm in ((0, "norm1"), (1, "norm2")):
+            s = np.asarray(enc[norm]["scale"])[li]
+            sd[f"{src}.norms.{j}.weight"] = torch.full(tuple(s.shape), float(li))
+            sd[f"{src}.norms.{j}.bias"] = torch.full(tuple(s.shape), float(li))
+        for fc, tsrc in (("ffn_fc1", ".ffns.0.layers.0.0"),
+                         ("ffn_fc2", ".ffns.0.layers.1")):
+            k = np.asarray(enc[fc]["kernel"])[li]
+            sd[f"{src}{tsrc}.weight"] = torch.full(tuple(k.T.shape), float(li))
+            sd[f"{src}{tsrc}.bias"] = torch.full((k.shape[1],), float(li))
+    return sd
+
+
+def test_mask2former_head_convert_structure():
+    from vitadapter.heads.mask2former import Mask2FormerHead
+
+    head = Mask2FormerHead(num_classes=7, num_queries=5, feat_channels=32,
+                           out_channels=32, num_decoder_layers=3,
+                           num_heads=4, decoder_ffn_dim=64,
+                           pixel_encoder_ffn_dim=64, pixel_encoder_heads=4)
+    feats = [jnp.zeros((1, 32 // s, 32 // s, 32)) for s in (1, 2, 4, 8)]
+    variables = jax.jit(head.init)(jax.random.PRNGKey(0), feats)
+    p0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    sd = _torch_m2f_head_sd(p0, n_dec=3, n_enc=6)
+    params, stats = ckpt.convert_mask2former_head(sd)
+    got = jax.tree_util.tree_map(np.shape, params)
+    want = jax.tree_util.tree_map(np.shape, p0)
+    assert got == want
+    # encoder layers keep per-layer order in the stacked scan layout
+    enc = params["pixel_decoder"]["encoder_layers"]["layer"]
+    for li in range(6):
+        assert float(enc["attn"]["value_proj"]["kernel"][li][0, 0]) == li
+        assert float(enc["norm2"]["bias"][li][0]) == li
+    # converted values run through the head
+    cls_list, mask_list = jax.jit(
+        lambda v, f: head.apply(v, f))({"params": params}, feats)
+    assert cls_list[-1].shape == (1, 5, 8)

@@ -382,6 +382,118 @@ def convert_upernet_heads(sd: Dict[str, Any]):
     return params, stats
 
 
+def convert_mask2former_head(sd: Dict[str, Any], prefix: str = "decode_head."):
+    """Convert mmseg Mask2FormerHead keys -> (params, batch_stats).
+
+    Key scheme from reference `mmseg_custom/models/decode_heads/
+    mask2former_head.py:95-126` (query/level embeddings, 9 DetrTransformer
+    DecoderLayers with nn.MultiheadAttention, cls/mask embeds) and
+    `plugins/msdeformattn_pixel_decoder.py:79-130` (input/lateral/output
+    ConvModules, 6-layer deformable encoder, mask_feature conv). The encoder
+    layers land STACKED on axis 0 (our pixel decoder runs them via nn.scan).
+    """
+    params: dict = {}
+    stats: dict = {}
+    p = prefix
+
+    def ln(src, dst):
+        _set(params, dst + ("scale",), _t(sd[src + ".weight"]))
+        _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def dense(src, dst):
+        _set(params, dst + ("kernel",), linear(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def conv_gn(src, dst):
+        _set(params, dst + ("conv", "kernel"), conv(sd[src + ".conv.weight"]))
+        if src + ".conv.bias" in sd:
+            _set(params, dst + ("conv", "bias"), _t(sd[src + ".conv.bias"]))
+        _set(params, dst + ("gn", "scale"), _t(sd[src + ".gn.weight"]))
+        _set(params, dst + ("gn", "bias"), _t(sd[src + ".gn.bias"]))
+
+    def mha(src, dst):
+        # torch nn.MultiheadAttention: in_proj_weight rows are [q; k; v]
+        w = _t(sd[src + ".attn.in_proj_weight"])
+        b = _t(sd[src + ".attn.in_proj_bias"])
+        C = w.shape[1]
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(params, dst + (name, "kernel"), w[i * C:(i + 1) * C].T)
+            _set(params, dst + (name, "bias"), b[i * C:(i + 1) * C])
+        dense(src + ".attn.out_proj", dst + ("out_proj",))
+
+    # --- embeddings / heads ---
+    _set(params, ("query_embed",), _t(sd[p + "query_embed.weight"]))
+    _set(params, ("query_feat",), _t(sd[p + "query_feat.weight"]))
+    _set(params, ("level_embed",), _t(sd[p + "level_embed.weight"]))
+    dense(p + "cls_embed", ("cls_embed",))
+    for i, t_idx in enumerate((0, 2, 4)):  # Sequential(Linear,ReLU,...)
+        dense(f"{p}mask_embed.{t_idx}", (f"mask_embed_{i}",))
+    ln(p + "transformer_decoder.post_norm", ("post_norm",))
+
+    # --- transformer decoder layers (cross_attn, norm, self_attn, norm,
+    # ffn, norm -> attentions.0=cross, attentions.1=self) ---
+    n_dec = 0
+    while f"{p}transformer_decoder.layers.{n_dec}.norms.0.weight" in sd:
+        n_dec += 1
+    for i in range(n_dec):
+        src = f"{p}transformer_decoder.layers.{i}"
+        dst = (f"decoder_layer_{i}",)
+        mha(src + ".attentions.0", dst + ("cross_attn",))
+        mha(src + ".attentions.1", dst + ("self_attn",))
+        for j in (0, 1, 2):
+            ln(f"{src}.norms.{j}", dst + (f"norm{j + 1}",))
+        dense(src + ".ffns.0.layers.0.0", dst + ("ffn_fc1",))
+        dense(src + ".ffns.0.layers.1", dst + ("ffn_fc2",))
+
+    # --- pixel decoder ---
+    pd = p + "pixel_decoder."
+    pp = ("pixel_decoder",)
+    _set(params, pp + ("level_encoding",), _t(sd[pd + "level_encoding.weight"]))
+    i = 0
+    while f"{pd}input_convs.{i}.conv.weight" in sd:
+        conv_gn(f"{pd}input_convs.{i}", pp + (f"input_conv_{i}",))
+        i += 1
+    i = 0
+    while f"{pd}lateral_convs.{i}.conv.weight" in sd:
+        conv_gn(f"{pd}lateral_convs.{i}", pp + (f"lateral_conv_{i}",))
+        conv_gn(f"{pd}output_convs.{i}", pp + (f"output_conv_{i}",))
+        i += 1
+    _set(params, pp + ("mask_feature", "kernel"),
+         conv(sd[pd + "mask_feature.weight"]))
+    _set(params, pp + ("mask_feature", "bias"), _t(sd[pd + "mask_feature.bias"]))
+
+    # encoder layers: per-layer torch weights -> stacked (L, ...) scan params
+    n_enc = 0
+    while f"{pd}encoder.layers.{n_enc}.norms.0.weight" in sd:
+        n_enc += 1
+    per_layer: list = []
+    for li in range(n_enc):
+        lp: dict = {}
+        lsrc = f"{pd}encoder.layers.{li}"
+
+        def ldense(src, dst):
+            _set(lp, dst + ("kernel",), linear(sd[src + ".weight"]))
+            _set(lp, dst + ("bias",), _t(sd[src + ".bias"]))
+
+        for name in ("sampling_offsets", "attention_weights", "value_proj",
+                     "output_proj"):
+            ldense(f"{lsrc}.attentions.0.{name}", ("attn", name))
+        for j, norm in ((0, "norm1"), (1, "norm2")):
+            _set(lp, (norm, "scale"), _t(sd[f"{lsrc}.norms.{j}.weight"]))
+            _set(lp, (norm, "bias"), _t(sd[f"{lsrc}.norms.{j}.bias"]))
+        ldense(f"{lsrc}.ffns.0.layers.0.0", ("ffn_fc1",))
+        ldense(f"{lsrc}.ffns.0.layers.1", ("ffn_fc2",))
+        per_layer.append(lp)
+    if per_layer:
+        import jax
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *per_layer)
+        _set(params, pp + ("encoder_layers",), {"layer": stacked})
+    return params, stats
+
+
 def convert_segmentor_checkpoint(ckpt, target_grid: Optional[int] = None):
     """Full reference segmentor checkpoint -> {'params':..., 'batch_stats':...}.
 
@@ -394,7 +506,12 @@ def convert_segmentor_checkpoint(ckpt, target_grid: Optional[int] = None):
                                                     target_grid=target_grid)
     else:
         bk_params, bk_stats = convert_vit_adapter_backbone(sd, prefix="backbone.")
-    hd_params, hd_stats = convert_upernet_heads(sd)
+    if "decode_head.pixel_decoder.mask_feature.weight" in sd:
+        hd_params, hd_stats = convert_mask2former_head(sd)
+        hd_params = {"decode_head": hd_params}
+        hd_stats = {"decode_head": hd_stats} if hd_stats else {}
+    else:
+        hd_params, hd_stats = convert_upernet_heads(sd)
     params = {"backbone": bk_params, **hd_params}
     stats = {"backbone": bk_stats, **hd_stats}
     return {"params": params, "batch_stats": stats}
