@@ -175,3 +175,24 @@ def test_assigner_no_valid_gt():
     gt = jnp.zeros((2, 4), jnp.float32)
     assigned, _ = max_iou_assign(anchors, gt, jnp.zeros((2,), bool))
     assert int(assigned[0]) == NEG
+
+
+def test_snip_area_thresholds_match_reference_tables():
+    from vitadapter.det.mask_utils import (get_area_thr, scale_range_filter,
+                                           snip_gt_weights)
+    import numpy as np
+
+    # spot checks against reference _get_area_thr (detr_head.py:477-545)
+    assert get_area_thr(600, "v1") == (124.0 ** 2, 1e10 ** 2)
+    assert get_area_thr(1100, "v1") == (28.0 ** 2, 1e10 ** 2)
+    assert get_area_thr(1500, "v1") == (0.0, 6.0 ** 2)
+    assert get_area_thr(1200, "v2") == (32.0 ** 2, 160.0 ** 2)
+    assert get_area_thr(1700, "v3") == (0.0, 64.0 ** 2)
+    assert get_area_thr(900, "v4") == (60.0 ** 2, 1e10 ** 2)
+
+    w = snip_gt_weights(np.array([10.0, 200.0 ** 2]), 1500, "v1", weight=0.1)
+    assert w[0] == 1.0 and np.isclose(w[1], 0.1)  # big box invalid at 1500
+
+    boxes = np.array([[0, 0, 4, 4], [0, 0, 300, 300]], np.float32)
+    keep = scale_range_filter(boxes, 600, "v1")
+    assert not keep[0] and keep[1]  # small box dropped at small scale
