@@ -403,17 +403,164 @@ def _grad_value_pallas(spatial_shapes, value_shape, loc, attn, g):
     return jnp.concatenate(parts, axis=1)
 
 
+def _dgrid_kernel(y0_ref, x0_ref, wp_ref, g_ref, v_ref, o_ref,
+                  *, H, W, D, T):
+    """grad wrt sampling locations / attention weights: three separable
+    contractions per sample sharing the forward kernel's structure
+    (reference CUDA computes the same bilinear derivatives inline,
+    `ms_deform_im2col_cuda.cuh:766-844`):
+
+        dattn = g . (Wy  (x) wxn) V        wxn = attention-less x weights
+        dlx   = g . (Wy  (x) wxd) V        wxd = attn*W * [-1, +1]
+        dly   = g . (Wyd (x) wxn) V        Wyd = attn*H * [-1, +1] one-hot
+
+    wp (1, T, 8) fp32: [wy0, wy1, wyd0, wyd1, wxn0, wxn1, wxd0, wxd1]
+    (scales folded host-side); o (1, T, 4) fp32: [dattn, dlx, dly, 0].
+    """
+    y0 = y0_ref[0]
+    x0 = x0_ref[0]
+    wp = wp_ref[0]
+    g = g_ref[0]            # (T, D) fp32
+    dt = v_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (T, H), 1).astype(jnp.float32)
+    Wy = jnp.where(iota_h == y0, wp[:, 0:1],
+                   jnp.where(iota_h == y0 + 1.0, wp[:, 1:2], 0.0)).astype(dt)
+    Wyd = jnp.where(iota_h == y0, wp[:, 2:3],
+                    jnp.where(iota_h == y0 + 1.0, wp[:, 3:4], 0.0)).astype(dt)
+    cols = W * D
+    n_chunks = max(1, -(-cols // DV_CHUNK_COLS))
+    cc = cols // n_chunks
+    wc = cc // D
+    iw = jax.lax.broadcasted_iota(jnp.int32, (wc, cc), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (wc, cc), 1)
+    E = (iw == ic // D).astype(jnp.float32)
+    ird = jax.lax.broadcasted_iota(jnp.int32, (D, cc), 0)
+    irc = jax.lax.broadcasted_iota(jnp.int32, (D, cc), 1)
+    Rrep = (ird == irc % D).astype(jnp.float32)
+    g_rep = jnp.dot(g, Rrep, preferred_element_type=jnp.float32,
+                    precision=prec)       # (T, cc): [g g ... g]
+    iota_wc = jax.lax.broadcasted_iota(jnp.int32, (T, wc), 1)
+
+    def chunk_body(c, acc):
+        vc = v_ref[0, :, pl.ds(c * cc, cc)]             # (H, cc)
+        tmp = jnp.dot(Wy, vc, preferred_element_type=jnp.float32,
+                      precision=prec)
+        tmpd = jnp.dot(Wyd, vc, preferred_element_type=jnp.float32,
+                       precision=prec)
+        wg = (iota_wc + c * wc).astype(jnp.float32)
+        wxn = jnp.where(wg == x0, wp[:, 4:5],
+                        jnp.where(wg == x0 + 1.0, wp[:, 5:6], 0.0))
+        wxd = jnp.where(wg == x0, wp[:, 6:7],
+                        jnp.where(wg == x0 + 1.0, wp[:, 7:8], 0.0))
+        wxnD = jnp.dot(wxn, E, preferred_element_type=jnp.float32,
+                       precision=prec)                  # (T, cc)
+        wxdD = jnp.dot(wxd, E, preferred_element_type=jnp.float32,
+                       precision=prec)
+        gn = wxnD * g_rep
+        da = jnp.sum(tmp * gn, axis=1, keepdims=True)
+        dx = jnp.sum(tmp * (wxdD * g_rep), axis=1, keepdims=True)
+        dy = jnp.sum(tmpd * gn, axis=1, keepdims=True)
+        upd = jnp.concatenate([da, dx, dy, jnp.zeros_like(da)], axis=1)
+        return acc + upd
+
+    acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                            jnp.zeros((T, 4), jnp.float32))
+    o_ref[0] = acc
+
+
+def _grad_grid_pallas(spatial_shapes, value, loc, attn, g):
+    """grad wrt (sampling_locations, attention_weights) via per-level
+    _dgrid_kernel programs. g: (B, Lq, M*D) fp32."""
+    B, S, M, D = value.shape
+    Lq = loc.shape[1]
+    T = TILE
+    starts = level_start_index(spatial_shapes)
+    g4 = g.reshape(B, Lq, M, D).astype(jnp.float32)
+    BM = B * M
+    dloc_parts = []
+    dattn_parts = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = jax.lax.slice_in_dim(value, starts[lvl], starts[lvl] + H * W,
+                                 axis=1)
+        vm = v.reshape(B, H, W, M, D).transpose(0, 3, 1, 2, 4)
+        vm = vm.reshape(BM, H, W * D)
+        locl = loc[:, :, :, lvl].astype(jnp.float32)
+        attl = attn[:, :, :, lvl].astype(jnp.float32)
+        P = locl.shape[3]
+        n = Lq * P
+        x = locl[..., 0] * W - 0.5
+        y = locl[..., 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        aH = attl * H
+        aW = attl * W
+        # [wy0, wy1, wyd0, wyd1, wxn0, wxn1, wxd0, wxd1]
+        wp = jnp.stack([1 - ly, ly, -aH, aH, 1 - lx, lx, -aW, aW], -1)
+
+        def to_bm(t):
+            t = jnp.moveaxis(t, 2, 1)
+            return t.reshape((BM, n) + t.shape[4:])
+
+        y0b = to_bm(y0[..., None])
+        x0b = to_bm(x0[..., None])
+        wpb = to_bm(wp)
+        gb = jnp.moveaxis(g4, 2, 1).reshape(BM, Lq, 1, D)
+        gb = jnp.broadcast_to(gb, (BM, Lq, P, D)).reshape(BM, n, D)
+
+        n_pad = -(-n // T) * T
+        if n_pad != n:
+            pad3 = ((0, 0), (0, n_pad - n), (0, 0))
+            y0b = jnp.pad(y0b, pad3, constant_values=-7)
+            x0b = jnp.pad(x0b, pad3, constant_values=-7)
+            wpb = jnp.pad(wpb, pad3)
+            gb = jnp.pad(gb, pad3)
+
+        out = pl.pallas_call(
+            partial(_dgrid_kernel, H=H, W=W, D=D, T=T),
+            out_shape=jax.ShapeDtypeStruct((BM, n_pad, 4), jnp.float32),
+            grid=(BM, n_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 1), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, 8), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, T, 4), lambda b, t: (b, t, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+        )(y0b, x0b, wpb, gb, vm)
+        out = out[:, :n].reshape(B, M, Lq, P, 4).transpose(0, 2, 1, 3, 4)
+        dattn_parts.append(out[..., 0])                   # (B, Lq, M, P)
+        dloc_parts.append(out[..., 1:3])                  # (B, Lq, M, P, 2)
+    dattn = jnp.stack(dattn_parts, axis=3).astype(attn.dtype)
+    dloc = jnp.stack(dloc_parts, axis=3).astype(loc.dtype)
+    return dloc, dattn
+
+
+# escape hatch: set VITADAPTER_MSDA_PALLAS_DGRID=0 to compute dloc/dattn via
+# the XLA VJP of the block formulation instead of the Pallas kernel
+_PALLAS_DGRID = os.environ.get("VITADAPTER_MSDA_PALLAS_DGRID", "1") == "1"
+
+
 def _bwd(spatial_shapes, res, g):
     value, loc, attn = res
-    # grad_value: Pallas contraction kernel (no scatter); grad wrt sampling
-    # locations / attention weights: XLA VJP of the block formulation with
-    # the value closed over (gather-only, no scatter).
+    # all-Pallas backward: grad_value via the accumulating contraction
+    # kernel (no scatter), dloc/dattn via the separable-derivative kernel
     dv = _grad_value_pallas(spatial_shapes, value.shape, loc, attn,
                             g.astype(jnp.float32)).astype(value.dtype)
-    _, vjp = jax.vjp(
-        lambda l, a: ms_deform_attn_block(value, spatial_shapes, l, a),
-        loc, attn)
-    dloc, dattn = vjp(g)
+    if _PALLAS_DGRID:
+        dloc, dattn = _grad_grid_pallas(spatial_shapes, value, loc, attn,
+                                        g.astype(jnp.float32))
+    else:
+        _, vjp = jax.vjp(
+            lambda l, a: ms_deform_attn_block(value, spatial_shapes, l, a),
+            loc, attn)
+        dloc, dattn = vjp(g)
     return dv, dloc, dattn
 
 
