@@ -10,6 +10,11 @@ Covers the reference's checkpoint utilities:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import re
 
 

@@ -5,6 +5,11 @@ Expects columns: image, width, height, left, top, right, bottom, question.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import csv
 import json
 
