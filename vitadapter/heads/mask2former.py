@@ -50,7 +50,10 @@ class MultiheadAttention(nn.Module):
         if attn_mask is not None:
             # attn_mask: (B, h, Nq, Nk) bool, True = masked out
             logits = jnp.where(attn_mask, NEG_INF, logits)
-        w = jax.nn.softmax(logits, axis=-1).astype(vp.dtype)
+        # store O(N^2) logits in the compute dtype (see layers.attention.mha)
+        logits = logits.astype(vp.dtype)
+        w = jax.nn.softmax(logits.astype(jnp.float32),
+                           axis=-1).astype(vp.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, vp)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)

@@ -35,12 +35,19 @@ def window_reverse(x: jax.Array, ws: int, H: int, W: int) -> jax.Array:
 
 def mha(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         bias: jax.Array | None = None) -> jax.Array:
-    """Multi-head attention core over (..., heads, N, Dh) with fp32 softmax."""
+    """Multi-head attention core over (..., heads, N, Dh) with fp32 softmax.
+
+    On the bf16 path the (N, N) logits are STORED in bf16 (fused into the
+    QK^T epilogue) and upcast inside the softmax fusion — halves the HBM
+    traffic of the only O(N^2) buffers. The fp16-autocast reference rounds
+    the logits to fp16 the same way before its fp32 softmax.
+    """
     attn = jnp.einsum("...hqd,...hkd->...hqk", q, k,
                       preferred_element_type=jnp.float32) * scale
     if bias is not None:
         attn = attn + bias
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    attn = attn.astype(v.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("...hqk,...hkd->...hqd", attn, v)
 
 

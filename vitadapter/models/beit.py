@@ -103,7 +103,10 @@ class BEiTAttention(nn.Module):
                                 preferred_element_type=jnp.float32)
             if rel_bias is not None:
                 logits = logits + rel_bias
-            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            # store O(N^2) logits in the compute dtype (see layers.attention.mha)
+            logits = logits.astype(v.dtype)
+            w = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
             return out.transpose(0, 2, 1, 3).reshape(b, n, C)
 

@@ -57,7 +57,9 @@ class JointAttention(nn.Module):
                                 preferred_element_type=jnp.float32)
             if key_mask is not None:
                 logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
-            w = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
+            logits = logits.astype(vv.dtype)  # see layers.attention.mha
+            w = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(vv.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", w, vv)
             return out.transpose(0, 2, 1, 3).reshape(b, n, C)
 
@@ -254,7 +256,8 @@ class GroundingCrossAttention(nn.Module):
         if text_mask is not None:
             logits = jnp.where(text_mask[:, None, None, :].astype(bool),
                                logits, NEG_INF)
-        w = jax.nn.softmax(logits, -1).astype(vp.dtype)
+        logits = logits.astype(vp.dtype)  # see layers.attention.mha
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(vp.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", w, vp)
         att = att.transpose(0, 2, 1, 3).reshape(B, N, C)
         x = x + nn.Dense(C, dtype=self.dtype, name="out_proj")(att)
