@@ -69,16 +69,7 @@ def main():
         assert np.isfinite(s)
         return time.perf_counter() - t0
 
-    # the axon terminal's Pallas compile helper fails in streaks (its libtpu
-    # init flakes); retry the first compile a few times before giving up
-    for attempt in range(4):
-        try:
-            t1 = timed(1)
-            break
-        except Exception as e:
-            if "remote_compile" not in str(e) or attempt == 3:
-                raise
-            time.sleep(240)
+    t1 = timed(1)
     tn = timed(11)
     per_iter = (tn - t1) / 10.0
     img_s = batch / per_iter
@@ -93,4 +84,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon terminal's Pallas compile helper fails in streaks (its libtpu
+    # init flakes with an HTTP 500); retry through short outages
+    for _attempt in range(4):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if "remote_compile" not in str(e) or _attempt == 3:
+                raise
+            time.sleep(240)
