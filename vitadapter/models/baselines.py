@@ -25,18 +25,20 @@ class SimpleFeaturePyramid(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array):
-        """x: (B, H, W, C) 16-stride map."""
-        C = x.shape[-1]
+    def __call__(self, x):
+        """x: (B, H, W, C) 16-stride map, or a list of 4 such maps (one per
+        output scale, e.g. from BEiT `out_indices` blocks)."""
+        xs = x if isinstance(x, (list, tuple)) else [x] * 4
+        C = xs[0].shape[-1]
         f4 = nn.ConvTranspose(C, (2, 2), strides=(2, 2), dtype=self.dtype,
-                              name="up4_a")(x)
+                              name="up4_a")(xs[0])
         f4 = nn.gelu(LayerNorm2d(name="up4_norm")(f4), approximate=False)
         f4 = nn.ConvTranspose(C, (2, 2), strides=(2, 2), dtype=self.dtype,
                               name="up4_b")(f4)
         f8 = nn.ConvTranspose(C, (2, 2), strides=(2, 2), dtype=self.dtype,
-                              name="up8")(x)
-        f16 = x
-        f32 = nn.max_pool(x, (2, 2), strides=(2, 2))
+                              name="up8")(xs[1])
+        f16 = xs[2]
+        f32 = nn.max_pool(xs[3], (2, 2), strides=(2, 2))
         outs = []
         for i, f in enumerate((f4, f8, f16, f32)):
             y = nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype,
@@ -92,6 +94,9 @@ class BEiTBaseline(nn.Module):
     init_values: float = 1e-6
     drop_path_rate: float = 0.0
     use_rel_pos_bias: bool = True
+    # per-scale source blocks (reference mmseg BEiT `out_indices=[7,11,15,23]`
+    # in `upernet_beit_large_512_...py`); None = all scales from the last block
+    out_indices: Sequence[int] | None = None
     with_cp: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -111,6 +116,15 @@ class BEiTBaseline(nn.Module):
         cls = jnp.broadcast_to(self.beit.cls_token.astype(t.dtype),
                                (B, 1, self.embed_dim))
         t = jnp.concatenate([cls, t], axis=1)
-        t = self.beit.run_blocks(t, H, W, 0, self.depth,
-                                 deterministic=not train)
-        return self.pyramid(t[:, 1:].reshape(B, H, W, -1))
+        if self.out_indices is None:
+            t = self.beit.run_blocks(t, H, W, 0, self.depth,
+                                     deterministic=not train)
+            return self.pyramid(t[:, 1:].reshape(B, H, W, -1))
+        taps = []
+        start = 0
+        for idx in self.out_indices:
+            t = self.beit.run_blocks(t, H, W, start, idx + 1,
+                                     deterministic=not train)
+            start = idx + 1
+            taps.append(t[:, 1:].reshape(B, H, W, -1))
+        return self.pyramid(taps)

@@ -188,6 +188,7 @@ class UnifiedBertEncoder(nn.Module):
     window_size: Sequence[int] | int = 14
     pretrain_size: int = 224
     vocab_size: int = 49411
+    with_cp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -197,8 +198,11 @@ class UnifiedBertEncoder(nn.Module):
         ws = (self.window_size if isinstance(self.window_size, (list, tuple))
               else [self.window_size] * depth)
         dpr = np.linspace(0, self.drop_path_rate, depth)
+        layer_cls = (nn.remat(MultiModelBertLayer,
+                              static_argnums=(4, 5, 6))
+                     if self.with_cp else MultiModelBertLayer)
         self.layers = [
-            MultiModelBertLayer(num_heads=self.num_heads,
+            layer_cls(num_heads=self.num_heads,
                                 mlp_ratio=self.mlp_ratio,
                                 drop_path=float(dpr[i]), windowed=bool(wa[i]),
                                 window_size=int(ws[i] or 14),
@@ -215,7 +219,7 @@ class UnifiedBertEncoder(nn.Module):
     def run_layers(self, x, q, q_mask, H, W, start, end,
                    deterministic: bool = True):
         for layer in self.layers[start:end]:
-            x, q = layer(x, q, q_mask, H, W, deterministic=deterministic)
+            x, q = layer(x, q, q_mask, H, W, deterministic)
         return x, q
 
     def __call__(self, img, question, q_mask=None, deterministic: bool = True):

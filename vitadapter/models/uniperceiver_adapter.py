@@ -33,6 +33,7 @@ class UniPerceiverAdapter(nn.Module):
     window_attn: Sequence[bool] | bool = False
     window_size: Sequence[int] | int = 14
     vocab_size: int = 49411
+    with_cp: bool = False
     # adapter knobs
     conv_inplane: int = 64
     n_points: int = 4
@@ -55,7 +56,7 @@ class UniPerceiverAdapter(nn.Module):
             depth=self.depth, num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio, drop_path_rate=self.drop_path_rate,
             window_attn=self.window_attn, window_size=self.window_size,
-            vocab_size=self.vocab_size, dtype=self.dtype)
+            vocab_size=self.vocab_size, with_cp=self.with_cp, dtype=self.dtype)
         self.level_embed = self.param("level_embed",
                                       nn.initializers.normal(1.0),
                                       (3, self.embed_dim), jnp.float32)

@@ -24,6 +24,7 @@ from vitadapter.utils.resize import resize_2d
 
 class ViTAdapter(nn.Module):
     # ViT trunk knobs
+    img_size: int = 224  # advisory (pos embed resamples at runtime)
     patch_size: int = 16
     embed_dim: int = 768
     depth: int = 12

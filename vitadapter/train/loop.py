@@ -165,18 +165,31 @@ def run_training(cfg, work_dir: str, resume: bool = False,
 
 def run_eval(cfg, variables, dataset, aug_test: bool = False,
              max_images: Optional[int] = None, log_fn=print) -> Dict[str, float]:
-    """Slide/whole-mode mIoU evaluation (reference `test.py --eval mIoU`)."""
+    """Slide/whole-mode mIoU evaluation (reference `test.py --eval mIoU`).
+
+    `aug_test=True` with an `aug_test` dict in the config runs the reference
+    multi-scale+flip protocol (the `_ms` configs); without one it runs
+    flip-only TTA (the `_ss` protocol with `--aug-test`).
+    """
+    from vitadapter.models.segmentor import multi_scale_flip_aug
+
     model = build_model(dict(cfg.model))
     num_classes = cfg.model["decode_head"]["num_classes"]
     mode = cfg.get("test_cfg", {}).get("mode", "whole")
+    ms_cfg = cfg.get("aug_test") if aug_test else None
 
     @jax.jit
     def crop_logits(img):
         return model.apply(variables, normalize(img))
 
     fn = crop_logits
-    if aug_test:
+    if aug_test and not ms_cfg:
         fn = flip_tta(crop_logits)
+
+    slide_args = {}
+    if mode == "slide":
+        slide_args = dict(crop_size=tuple(cfg.test_cfg["crop_size"]),
+                          stride=tuple(cfg.test_cfg["stride"]))
 
     cm = np.zeros((num_classes, num_classes), np.int64)
     n = min(len(dataset), max_images or len(dataset))
@@ -184,7 +197,13 @@ def run_eval(cfg, variables, dataset, aug_test: bool = False,
         img, seg = dataset.load(i)
         x = jnp.asarray(img, jnp.float32)[None]
         x, (H, W) = pad_to_multiple(x, 32)
-        if mode == "slide":
+        if ms_cfg:
+            logits = multi_scale_flip_aug(
+                crop_logits, x, num_classes,
+                ratios=tuple(ms_cfg.get("img_ratios",
+                                        (0.5, 0.75, 1.0, 1.25, 1.5, 1.75))),
+                flip=ms_cfg.get("flip", True), **slide_args)
+        elif mode == "slide":
             logits = slide_inference(fn, x, tuple(cfg.test_cfg["crop_size"]),
                                      tuple(cfg.test_cfg["stride"]),
                                      num_classes)
