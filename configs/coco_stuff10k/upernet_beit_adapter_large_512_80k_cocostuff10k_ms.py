@@ -1,0 +1,4 @@
+# Multi-scale (+flip) TTA variant of the COCO-Stuff-10K UperNet.
+# Counterpart of reference `upernet_beit_adapter_large_512_80k_cocostuff10k_ms.py`.
+_base_ = ["./upernet_beit_adapter_large_512_80k_cocostuff10k_ss.py"]
+aug_test = dict(img_ratios=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75], flip=True)

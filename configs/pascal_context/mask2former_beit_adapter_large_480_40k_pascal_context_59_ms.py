@@ -1,0 +1,4 @@
+# Multi-scale (+flip) TTA variant of the Pascal-Context-59 Mask2Former.
+# Counterpart of reference `mask2former_beit_adapter_large_480_40k_pascal_context_59_ms.py`.
+_base_ = ["./mask2former_beit_adapter_large_480_40k_pascal_context_59_ss.py"]
+aug_test = dict(img_ratios=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75], flip=True)
