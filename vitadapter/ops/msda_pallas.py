@@ -33,6 +33,31 @@ from vitadapter.ops.msda import (SpatialShapes, level_start_index,
 TILE = 1024            # samples per program; TILE/128 must be divisible by 8
 CHUNK_COLS = 512       # W*D columns of V contracted per MXU step (forward)
 DV_CHUNK_COLS = 256    # chunk width for the grad_value kernel (see _dv_kernel)
+# v5e has 128M VMEM; the default 16M scoped-vmem cap is too tight for the
+# (T, HW) one-hot intermediates at HW=1024 (bf16 needs ~18M live)
+VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _n_col_chunks(cols: int, D: int, target: int) -> int:
+    """Number of W*D-column chunks for the in-kernel fori_loop.
+
+    A valid chunk width must (a) divide `cols` exactly, (b) cover whole W
+    positions (multiple of D), and (c) keep the pl.ds start offsets provably
+    128-lane aligned (Mosaic rejects dynamic starts that are not static
+    multiples of 128). Returns the chunk count whose width is closest to
+    `target` among valid ones; 1 (no slicing — start 0 is always aligned)
+    when none exists, e.g. odd W*D.
+    """
+    best = 1
+    for n in range(2, cols // max(D, 1) + 1):
+        if cols % n:
+            continue
+        cc = cols // n
+        if cc % D or cc % 128:
+            continue
+        if abs(cc - target) < abs(cols // best - target):
+            best = n
+    return best
 # escape hatch: set VITADAPTER_MSDA_PFOLD=0 to route small levels through the
 # per-sample chunked kernel instead of the P-folded one-hot kernel
 _PFOLD = os.environ.get("VITADAPTER_MSDA_PFOLD", "1") == "1"
@@ -55,7 +80,7 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
                    jnp.where(iota_h == y0 + 1.0, wy[:, 1:2], 0.0)).astype(dt)
 
     cols = W * D
-    n_chunks = max(1, -(-cols // CHUNK_COLS))
+    n_chunks = _n_col_chunks(cols, D, CHUNK_COLS)
     cc = cols // n_chunks
     wc = cc // D  # W positions per chunk
     # E expands per-w weights to per-column: E[w, w*D + d] = 1
@@ -94,7 +119,7 @@ def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _sample_kernel_onehot_pf(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
+def _sample_kernel_onehot_pf(y_ref, x_ref, a_ref, v_ref, o_ref,
                              *, H, W, D, T, P):
     """Small-level variant (H*W small): all P points of a query are folded
     into ONE combined (T, HW) one-hot row (bilinear sampling is linear, so
@@ -102,36 +127,34 @@ def _sample_kernel_onehot_pf(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
     samples — 4x fewer programs, ONE K=HW matmul per tile instead of P, and
     no P-sum epilogue.
 
-    Block shapes: y0/x0 (1, T, P); wy/wx (1, T, 2P) with point p's weight
-    pair at columns 2p, 2p+1; v (1, HW, D); o (1, T, D).
+    The bilinear one-hot weight of grid cell (h, w) for continuous sample
+    coordinate (y, x) is exactly relu(1-|h-y|) * relu(1-|w-x|): two nonzero
+    entries per axis at floor/ceil with weights (1-frac, frac), zero weight
+    for out-of-range coordinates (= grid_sample zero padding). This pure
+    arithmetic form avoids vector compares entirely — Mosaic on v5e rejects
+    bf16 `cmpf` AND i1-mask relayouts into 16-bit selects (round-1/2
+    regressions) — and the compute stays fp32 where the fraction lives, so
+    no coordinate precision is lost. Only the accumulated (T, HW) C tensor
+    is stored in the value dtype (fp32 C at HW=1024 blows scoped VMEM).
+
+    Block shapes: y/x/a (1, T, P) fp32 — continuous grid coords + attention
+    weight per point; v (1, HW, D); o (1, T, D).
     """
     dt = v_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
     HW = H * W
-    # (T, HW) intermediates live in the value dtype: fp32 ones at HW=1024
-    # blow the 16M scoped-vmem limit, and the bf16 path already rounds the
-    # bilinear weights to bf16 (same as the per-sample kernels). H, W and
-    # the integer-valued coords are < 256, exactly representable in bf16.
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, HW), 1)
-    h_of = (iota // W).astype(dt)
-    w_of = (iota % W).astype(dt)
-    y0 = y0_ref[0]
-    x0 = x0_ref[0]
-    wy = wy_ref[0]
-    wx = wx_ref[0]
-    zero = jnp.zeros((), dt)
+    h_of = (iota // W).astype(jnp.float32)
+    w_of = (iota - (iota // W) * W).astype(jnp.float32)
+    y = y_ref[0]
+    x = x_ref[0]
+    a = a_ref[0]
     C = jnp.zeros((T, HW), dt)
     for p in range(P):
-        y0p = y0[:, p:p + 1].astype(dt)
-        wyp = wy[:, 2 * p:2 * p + 2].astype(dt)
-        Cy = jnp.where(h_of == y0p, wyp[:, 0:1],
-                       jnp.where(h_of == y0p + 1, wyp[:, 1:2], zero))
-        x0p = x0[:, p:p + 1].astype(dt)
-        wxp = wx[:, 2 * p:2 * p + 2].astype(dt)
-        Cx = jnp.where(w_of == x0p, wxp[:, 0:1],
-                       jnp.where(w_of == x0p + 1, wxp[:, 1:2], zero))
-        C = C + Cy * Cx
+        wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, p:p + 1]), 0.0)
+        wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, p:p + 1]), 0.0)
+        C = C + (wy * wx * a[:, p:p + 1]).astype(dt)
     o_ref[0] = jnp.dot(C, v_ref[0], preferred_element_type=jnp.float32,
                        precision=prec).astype(o_ref.dtype)
 
@@ -163,27 +186,22 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
     wx = jnp.stack([(1 - lx) * a, lx * a], -1)
 
     out_dt = (jnp.float32 if value_bm.dtype == jnp.float32 else value_bm.dtype)
-    # fp32 needs fp32 (T, HW) intermediates in the P-folded kernel — halve
-    # the HW cutoff to stay under the scoped-vmem limit
-    onehot_max = (ONEHOT_MAX_HW if value_bm.dtype != jnp.float32
-                  else ONEHOT_MAX_HW // 2)
+    onehot_max = ONEHOT_MAX_HW
     if _PFOLD and H * W <= onehot_max:
         # per-QUERY tiling: all P points folded into one one-hot row
         def to_bmq(t):
             t = jnp.moveaxis(t, 2, 1)                    # (B, M, Lq, ...)
             return t.reshape((BM, Lq, -1))
 
-        y0q = to_bmq(y0)            # (BM, Lq, P)
-        x0q = to_bmq(x0)
-        wyq = to_bmq(wy)            # (BM, Lq, 2P): [p0w0 p0w1 p1w0 ...]
-        wxq = to_bmq(wx)
+        yq = to_bmq(y)              # (BM, Lq, P) continuous grid coords
+        xq = to_bmq(x)
+        aq = to_bmq(a)              # (BM, Lq, P) attention weights
         nq_pad = -(-Lq // T) * T
         if nq_pad != Lq:
             pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
-            y0q = jnp.pad(y0q, pad, constant_values=-7)
-            x0q = jnp.pad(x0q, pad, constant_values=-7)
-            wyq = jnp.pad(wyq, pad)
-            wxq = jnp.pad(wxq, pad)
+            yq = jnp.pad(yq, pad, constant_values=-7)
+            xq = jnp.pad(xq, pad, constant_values=-7)
+            aq = jnp.pad(aq, pad)
         out = pl.pallas_call(
             partial(_sample_kernel_onehot_pf, H=H, W=W, D=D, T=T, P=P),
             out_shape=jax.ShapeDtypeStruct((BM, nq_pad, D), out_dt),
@@ -191,14 +209,14 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
             in_specs=[
                 pl.BlockSpec((1, T, P), lambda b, t: (b, t, 0)),
                 pl.BlockSpec((1, T, P), lambda b, t: (b, t, 0)),
-                pl.BlockSpec((1, T, 2 * P), lambda b, t: (b, t, 0)),
-                pl.BlockSpec((1, T, 2 * P), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, T, P), lambda b, t: (b, t, 0)),
                 pl.BlockSpec((1, H * W, D), lambda b, t: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel")),
-        )(y0q, x0q, wyq, wxq, value_bm.reshape(BM, H * W, D))
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(yq, xq, aq, value_bm.reshape(BM, H * W, D))
         out = out[:, :Lq].reshape(B, M, Lq, D).astype(jnp.float32)
         return out.transpose(0, 2, 1, 3)  # (B, Lq, M, D)
 
@@ -232,7 +250,8 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=VMEM_LIMIT),
     )(y0b, x0b, wyb, wxb, value_bm)
 
     out = out[:, :n].reshape(B, M, Lq, P, D).astype(jnp.float32).sum(axis=3)
@@ -301,9 +320,8 @@ def _dv_kernel(y0_ref, x0_ref, wy_ref, wx_ref, g_ref, dv_ref, *, H, W, D, T):
                    jnp.where(iota_h == y0 + 1.0, wy[:, 1:2], 0.0))
     cols = W * D
     # narrower chunks than the forward: the accumulating out block is VMEM-
-    # resident on top of the chunk temporaries, and 512-wide chunks put the
-    # kernel ~2M over the 16M scoped-vmem limit inside big train-step modules
-    n_chunks = max(1, -(-cols // DV_CHUNK_COLS))
+    # resident on top of the chunk temporaries
+    n_chunks = _n_col_chunks(cols, D, DV_CHUNK_COLS)
     cc = cols // n_chunks
     wc = cc // D
     iw = jax.lax.broadcasted_iota(jnp.int32, (wc, cc), 0)
@@ -395,7 +413,8 @@ def _grad_value_pallas(spatial_shapes, value_shape, loc, attn, g):
             ],
             out_specs=pl.BlockSpec((1, H, W * D), lambda b, t: (b, 0, 0)),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary")),
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT),
         )(y0b, x0b, wyb, wxb, gb)
         # (BM, H, W*D) -> (B, H*W, M, D)
         dv = dv.reshape(B, M, H, W, D).transpose(0, 2, 3, 1, 4)
@@ -430,7 +449,7 @@ def _dgrid_kernel(y0_ref, x0_ref, wp_ref, g_ref, v_ref, o_ref,
     Wyd = jnp.where(iota_h == y0, wp[:, 2:3],
                     jnp.where(iota_h == y0 + 1.0, wp[:, 3:4], 0.0)).astype(dt)
     cols = W * D
-    n_chunks = max(1, -(-cols // DV_CHUNK_COLS))
+    n_chunks = _n_col_chunks(cols, D, DV_CHUNK_COLS)
     cc = cols // n_chunks
     wc = cc // D
     iw = jax.lax.broadcasted_iota(jnp.int32, (wc, cc), 0)
@@ -532,7 +551,8 @@ def _grad_grid_pallas(spatial_shapes, value, loc, attn, g):
             ],
             out_specs=pl.BlockSpec((1, T, 4), lambda b, t: (b, t, 0)),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel")),
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=VMEM_LIMIT),
         )(y0b, x0b, wpb, gb, vm)
         out = out[:, :n].reshape(B, M, Lq, P, 4).transpose(0, 2, 1, 3, 4)
         dattn_parts.append(out[..., 0])                   # (B, Lq, M, P)
