@@ -258,9 +258,134 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
     return out.transpose(0, 2, 1, 3)  # (B, Lq, M, D)
 
 
+def _fwd_ml_kernel(y_ref, x_ref, a_ref, v_ref, o_ref,
+                   *, shapes, D, T, P, chunk):
+    """Unified multi-level P-folded forward: ONE program per (batch*head,
+    query-tile) covers ALL levels and points, chunking the flattened
+    (level, h, w) axis so the (T, chunk) one-hot intermediates stay
+    VMEM-bounded at any level size. Replaces three per-level kernel
+    dispatches (plus their XLA add/transpose epilogues) with one program
+    family — ~6x fewer programs at pixel-decoder geometry and half the VPU
+    work of the per-sample path on big levels.
+
+    Bilinear weights via the compare-free relu identity (see
+    `_sample_kernel_onehot_pf`). Block shapes: y/x/a (1, T, L*P) fp32 with
+    level l point p at column l*P+p; v (1, S, D) value dtype (S = sum HW);
+    o (1, T, D) fp32.
+    """
+    dt = v_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = y_ref[0]
+    x = x_ref[0]
+    a = a_ref[0]
+    acc = jnp.zeros((T, D), jnp.float32)
+    start = 0
+    for lvl, (H, W) in enumerate(shapes):
+        HW = H * W
+        c0 = 0
+        while c0 < HW:
+            hwc = min(chunk, HW - c0)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
+            hof = iota // W
+            h_of = hof.astype(jnp.float32)
+            w_of = (iota - hof * W).astype(jnp.float32)
+            C = jnp.zeros((T, hwc), jnp.float32)
+            for p in range(P):
+                col = lvl * P + p
+                wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]), 0.0)
+                wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]), 0.0)
+                C = C + wy * wx * a[:, col:col + 1]
+            vc = v_ref[0, start + c0:start + c0 + hwc, :]
+            acc = acc + jnp.dot(C.astype(dt), vc,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+            c0 += hwc
+        start += HW
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+ML_CHUNK = 1024
+# smaller K-chunks for the fused backward: its unrolled per-point temporary
+# set is ~4x the forward's, and scoped-vmem must hold them all
+BWD_ML_CHUNK = 256
+# value budget for keeping the whole multi-level tensor VMEM-resident per
+# program; above this fall back to the per-level kernels
+ML_MAX_VALUE_BYTES = 8 * 1024 * 1024
+_ML = os.environ.get("VITADAPTER_MSDA_ML", "1") == "1"
+
+
+def _pick_tile(Lq: int) -> int:
+    """Query-tile size minimizing padding waste (ties -> bigger tiles =
+    fewer programs). E.g. Lq=5376 pads 14% at T=1024 but divides exactly
+    at T=896. All candidates keep fp32 (T, ML_CHUNK) intermediates within
+    the raised scoped-vmem cap."""
+    best, best_pad = TILE, -(-Lq // TILE) * TILE
+    # candidates capped at 1024: the fused backward holds ~20 (T, chunk)
+    # fp32 temporaries live, and T=1536+ blows the 64M scoped-vmem cap
+    for t in (512, 640, 768, 896, 1024):
+        padded = -(-Lq // t) * t
+        if padded < best_pad or (padded == best_pad and t > best):
+            best, best_pad = t, padded
+    return best
+
+
+def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
+                attention_weights):
+    B, S, M, D = value.shape
+    Lq = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    BM = B * M
+    T = _pick_tile(Lq)
+
+    locf = sampling_locations.astype(jnp.float32)
+    hw = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+    # continuous grid coords per (level, point): loc * (W, H) - 0.5
+    xy = locf * hw[None, None, None, :, None, :] - 0.5   # (B,Lq,M,L,P,2)
+    att = attention_weights.astype(jnp.float32)
+
+    def to_bmq(t):                                       # (B,Lq,M,LP)
+        t = t.reshape(B, Lq, M, L * P)
+        return jnp.moveaxis(t, 2, 1).reshape(BM, Lq, L * P)
+
+    xq = to_bmq(xy[..., 0])
+    yq = to_bmq(xy[..., 1])
+    aq = to_bmq(att)
+    nq_pad = -(-Lq // T) * T
+    if nq_pad != Lq:
+        pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+        yq = jnp.pad(yq, pad, constant_values=-7)
+        xq = jnp.pad(xq, pad, constant_values=-7)
+        aq = jnp.pad(aq, pad)
+    vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+
+    out = pl.pallas_call(
+        partial(_fwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
+                chunk=ML_CHUNK),
+        out_shape=jax.ShapeDtypeStruct((BM, nq_pad, D), jnp.float32),
+        grid=(BM, nq_pad // T),
+        in_specs=[
+            pl.BlockSpec((1, T, L * P), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, L * P), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, L * P), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(yq, xq, aq, vm)
+    out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, M * D).astype(value.dtype)
+
+
 def _forward(value, spatial_shapes: SpatialShapes, sampling_locations,
              attention_weights):
     B, S, M, D = value.shape
+    if _ML and S * D * value.dtype.itemsize <= ML_MAX_VALUE_BYTES:
+        return _forward_ml(value, spatial_shapes, sampling_locations,
+                           attention_weights)
     Lq = sampling_locations.shape[1]
     starts = level_start_index(spatial_shapes)
     out = jnp.zeros((B, Lq, M, D), jnp.float32)
@@ -567,8 +692,206 @@ def _grad_grid_pallas(spatial_shapes, value, loc, attn, g):
 _PALLAS_DGRID = os.environ.get("VITADAPTER_MSDA_PALLAS_DGRID", "1") == "1"
 
 
+def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
+                   *, shapes, D, T, P, chunk):
+    """Fused multi-level backward: ONE program family produces grad_value
+    AND the dattn/dloc reductions, sharing the bilinear one-hot builds and
+    the per-chunk Gv = g @ V^T contraction that the split `_dv_kernel` /
+    `_dgrid_kernel` pair each recomputed (the CUDA reference likewise
+    computes all three gradients in one col2im pass,
+    `ms_deform_im2col_cuda.cuh:766-922`).
+
+    Per level chunk:
+        Gv   = g @ vc^T                        (T, hwc)
+        per point p: wy/wx relu one-hots; C += a_p * wy * wx
+            dattn_p += rowsum(wy * wx * Gv)
+            dly_p   += rowsum(masked-sign_y * wx * Gv)   [x a_p * H host-side]
+            dlx_p   += rowsum(wy * masked-sign_x * Gv)   [x a_p * W host-side]
+        dv_chunk += C^T @ g                    (accumulated across tiles)
+
+    Blocks: y/x/a (1, T, L*P) fp32; g (1, T, D) fp32; v (1, S, D);
+    dv (1, S, D) fp32 revisited across the (sequential) tile axis;
+    dg (1, T, 3*L*P) fp32 with columns [dattn | dlx | dly] per (l, p).
+    """
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    y = y_ref[0]
+    x = x_ref[0]
+    a = a_ref[0]
+    g = g_ref[0]                    # (T, D) fp32
+    dt = v_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    LP = len(shapes) * P
+    da_cols = [jnp.zeros((T, 1), jnp.float32) for _ in range(LP)]
+    dx_cols = [jnp.zeros((T, 1), jnp.float32) for _ in range(LP)]
+    dy_cols = [jnp.zeros((T, 1), jnp.float32) for _ in range(LP)]
+    gd = g.astype(dt)
+    start = 0
+    for lvl, (H, W) in enumerate(shapes):
+        HW = H * W
+
+        def chunk_step(c0, hwc, carry, dyn):
+            """One K-chunk: returns updated (da, dx, dy) col lists for this
+            level. c0 is the chunk offset within the level (traced scalar
+            when dyn, python int otherwise)."""
+            da_l, dx_l, dy_l = carry
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
+            hof = iota // W
+            h_of = hof.astype(jnp.float32)
+            w_of = (iota - hof * W).astype(jnp.float32)
+            if dyn:
+                vc = v_ref[0, pl.ds(start + c0, hwc), :]      # (hwc, D)
+            else:
+                vc = v_ref[0, start + c0:start + c0 + hwc, :]
+            Gv = jax.lax.dot_general(
+                gd, vc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            C = jnp.zeros((T, hwc), jnp.float32)
+            for p in range(P):
+                col = lvl * P + p
+                dyr = h_of - y[:, col:col + 1]
+                ady = jnp.abs(dyr)
+                wy = jnp.maximum(1.0 - ady, 0.0)
+                dxr = w_of - x[:, col:col + 1]
+                adx = jnp.abs(dxr)
+                wx = jnp.maximum(1.0 - adx, 0.0)
+                t0 = wy * wx
+                C = C + t0 * a[:, col:col + 1]
+                da_l[p] = da_l[p] + jnp.sum(t0 * Gv, axis=1, keepdims=True)
+                # floor-convention derivative taps: -1 on (h-y) in (-1, 0],
+                # +1 on (0, 1] — BOTH taps stay active when the coordinate
+                # is exactly integral (frac 0), matching the reference's
+                # lh/hh bilinear derivatives (`ms_deform_im2col_cuda.cuh:
+                # 766-844`). A sign()-based mask would zero both taps there,
+                # and bf16-quantized locations land on integers often.
+                sy = jnp.where((dyr > -1.0) & (dyr <= 1.0),
+                               jnp.where(dyr > 0.0, 1.0, -1.0), 0.0)
+                sx = jnp.where((dxr > -1.0) & (dxr <= 1.0),
+                               jnp.where(dxr > 0.0, 1.0, -1.0), 0.0)
+                dy_l[p] = dy_l[p] + jnp.sum((sy * wx) * Gv, axis=1,
+                                            keepdims=True)
+                dx_l[p] = dx_l[p] + jnp.sum((wy * sx) * Gv, axis=1,
+                                            keepdims=True)
+            contrib = jax.lax.dot_general(
+                C.astype(dt), gd,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            if dyn:
+                cur = dv_ref[0, pl.ds(start + c0, hwc), :]
+                dv_ref[0, pl.ds(start + c0, hwc), :] = cur + contrib
+            else:
+                cur = dv_ref[0, start + c0:start + c0 + hwc, :]
+                dv_ref[0, start + c0:start + c0 + hwc, :] = cur + contrib
+            return da_l, dx_l, dy_l
+
+        zeros = lambda: [jnp.zeros((T, 1), jnp.float32) for _ in range(P)]
+        if HW % chunk == 0 and HW > chunk:
+            # lax.fori_loop keeps only one chunk's temporaries live — the
+            # python-unrolled form made Mosaic hold every chunk's ~20 fp32
+            # (T, chunk) arrays simultaneously (>100M scoped vmem at the
+            # pixel-decoder geometry)
+            da_l, dx_l, dy_l = jax.lax.fori_loop(
+                0, HW // chunk,
+                lambda c, carry: chunk_step(c * chunk, chunk, carry, True),
+                (zeros(), zeros(), zeros()))
+        else:
+            carry = (zeros(), zeros(), zeros())
+            c0 = 0
+            while c0 < HW:
+                hwc = min(chunk, HW - c0)
+                carry = chunk_step(c0, hwc, carry, False)
+                c0 += hwc
+            da_l, dx_l, dy_l = carry
+        for p in range(P):
+            col = lvl * P + p
+            da_cols[col] = da_l[p]
+            dx_cols[col] = dx_l[p]
+            dy_cols[col] = dy_l[p]
+        start += HW
+    dg_ref[0] = jnp.concatenate(da_cols + dx_cols + dy_cols, axis=1)
+
+
+def _backward_ml(spatial_shapes, value, loc, attn, g):
+    """Fused dv/dloc/dattn via `_bwd_ml_kernel`. g: (B, Lq, M*D) fp32."""
+    B, S, M, D = value.shape
+    Lq = loc.shape[1]
+    L = len(spatial_shapes)
+    P = loc.shape[4]
+    BM = B * M
+    T = _pick_tile(Lq)
+    LP = L * P
+
+    locf = loc.astype(jnp.float32)
+    hw = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+    xy = locf * hw[None, None, None, :, None, :] - 0.5
+    att = attn.astype(jnp.float32)
+
+    def to_bmq(t):
+        t = t.reshape(B, Lq, M, LP)
+        return jnp.moveaxis(t, 2, 1).reshape(BM, Lq, LP)
+
+    xq = to_bmq(xy[..., 0])
+    yq = to_bmq(xy[..., 1])
+    aq = to_bmq(att)
+    g4 = g.reshape(B, Lq, M, D).astype(jnp.float32)
+    gq = jnp.moveaxis(g4, 2, 1).reshape(BM, Lq, D)
+    nq_pad = -(-Lq // T) * T
+    if nq_pad != Lq:
+        pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+        yq = jnp.pad(yq, pad, constant_values=-7)
+        xq = jnp.pad(xq, pad, constant_values=-7)
+        aq = jnp.pad(aq, pad)
+        gq = jnp.pad(gq, pad)
+    vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+
+    dv, dg = pl.pallas_call(
+        partial(_bwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
+                chunk=BWD_ML_CHUNK),
+        out_shape=(jax.ShapeDtypeStruct((BM, S, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BM, nq_pad, 3 * LP), jnp.float32)),
+        grid=(BM, nq_pad // T),
+        in_specs=[
+            pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
+                   pl.BlockSpec((1, T, 3 * LP), lambda b, t: (b, t, 0))),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(yq, xq, aq, gq, vm)
+
+    dv = dv.reshape(B, M, S, D).transpose(0, 2, 1, 3).astype(value.dtype)
+    dg = dg[:, :Lq].reshape(B, M, Lq, 3 * LP)
+    dg = jnp.moveaxis(dg, 1, 2)                        # (B, Lq, M, 3LP)
+    dattn_raw = dg[..., :LP].reshape(B, Lq, M, L, P)
+    dlx_raw = dg[..., LP:2 * LP].reshape(B, Lq, M, L, P)
+    dly_raw = dg[..., 2 * LP:].reshape(B, Lq, M, L, P)
+    # chain rule: grid coords = loc * (W, H) - 0.5; derivative includes the
+    # per-point attention weight (folded host-side to keep the kernel lean)
+    Wl = hw[:, 0][None, None, None, :, None]           # (1,1,1,L,1)
+    Hl = hw[:, 1][None, None, None, :, None]
+    dloc = jnp.stack([dlx_raw * att * Wl,
+                      dly_raw * att * Hl], axis=-1)
+    dattn = dattn_raw.astype(attn.dtype)
+    return dv, dloc.astype(loc.dtype), dattn
+
+
 def _bwd(spatial_shapes, res, g):
     value, loc, attn = res
+    B, S, M, D = value.shape
+    if (_ML and _PALLAS_DGRID
+            and S * D * value.dtype.itemsize <= ML_MAX_VALUE_BYTES):
+        return _backward_ml(spatial_shapes, value, loc, attn,
+                            g.astype(jnp.float32))
     # all-Pallas backward: grad_value via the accumulating contraction
     # kernel (no scatter), dloc/dattn via the separable-derivative kernel
     dv = _grad_value_pallas(spatial_shapes, value.shape, loc, attn,
