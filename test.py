@@ -67,7 +67,27 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(parse_cfg_options(args.cfg_options))
     variables = load_variables(args.checkpoint, cfg)
-    if any(m in args.eval for m in ("bbox", "segm", "IoU")):
+    if "IoU" in args.eval:
+        # single-box grounding Acc@0.5/mIoU (reference vg_dataset.py:45-100)
+        from vitadapter.train.det_loop import (build_det_dataset,
+                                               run_grounding_eval)
+        dataset = build_det_dataset(cfg.data, "val")
+        run_grounding_eval(cfg, variables, dataset, aug_test=args.aug_test,
+                           max_images=args.max_images)
+    elif "PQ" in args.eval:
+        # panoptic quality (reference configs/mask2former/README.md:84)
+        from vitadapter.data.coco import CocoPanopticDataset
+        from vitadapter.train.det_loop import run_panoptic_eval
+        sub = cfg.data["val"]
+        root = cfg.data.get("data_root", "")
+        dataset = CocoPanopticDataset(
+            os.path.join(root, sub["ann_file"]),
+            os.path.join(root, sub["img_dir"]),
+            seg_dir=(os.path.join(root, sub["seg_dir"])
+                     if "seg_dir" in sub else None))
+        run_panoptic_eval(cfg, variables, dataset,
+                          max_images=args.max_images)
+    elif any(m in args.eval for m in ("bbox", "segm")):
         from vitadapter.train.det_loop import build_det_dataset, run_det_eval
         dataset = build_det_dataset(cfg.data, "val")
         iou_types = tuple(t for t in ("bbox", "segm") if t in args.eval) \

@@ -30,3 +30,24 @@ def pad_to_multiple(img: jax.Array, divisor: int = 32, value: float = 0.0):
         img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
                       constant_values=value)
     return img, (H, W)
+
+
+def pad_to_bucket(img: jax.Array, step: int = 128, divisor: int = 32,
+                  value: float = 0.0):
+    """Pad H, W up to the next multiple of `step` (itself rounded up to a
+    multiple of `divisor`). Returns (img, (H, W)).
+
+    Variable-size whole-mode eval would otherwise trigger one XLA compile
+    per distinct image shape (~minutes each for L models); quantizing the
+    padded shape to a small static bucket set bounds the number of compiles
+    (SURVEY §7 "pad-to-bucket"). With step=128, a 512-short-side eval set
+    compiles a handful of (512, k*128) programs that are reused.
+    """
+    step = -(-step // divisor) * divisor
+    B, H, W, C = img.shape
+    Hp = -(-H // step) * step
+    Wp = -(-W // step) * step
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
+                      constant_values=value)
+    return img, (H, W)

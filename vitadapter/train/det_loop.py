@@ -18,15 +18,17 @@ import optax
 from vitadapter.builder import build_model
 from vitadapter.data import transforms as T
 from vitadapter.data.coco import CocoDataset, pad_targets
-from vitadapter.data.grounding import WSDMCocoDataset
-from vitadapter.data.preprocess import normalize, pad_to_multiple
+from vitadapter.data.grounding import VGDataset, WSDMCocoDataset
+from vitadapter.data.preprocess import (normalize, pad_to_bucket,
+                                         pad_to_multiple)
 from vitadapter.det.coco_eval import COCOEvaluator
 from vitadapter.parallel.mesh import make_mesh, replicate, shard_batch
 from vitadapter.train.optim import make_optimizer
 from vitadapter.train.trainer import TrainState
 from vitadapter.utils.checkpoint_io import save_checkpoint
 
-DET_DATASETS = {"CocoDataset": CocoDataset, "WSDMCocoDataset": WSDMCocoDataset}
+DET_DATASETS = {"CocoDataset": CocoDataset, "WSDMCocoDataset": WSDMCocoDataset,
+                "VGDataset": VGDataset}
 
 
 def build_det_dataset(data_cfg: Dict[str, Any], split: str,
@@ -34,7 +36,7 @@ def build_det_dataset(data_cfg: Dict[str, Any], split: str,
     cls = DET_DATASETS[data_cfg["dataset_type"]]
     sub = data_cfg[split]
     root = data_cfg.get("data_root", "")
-    kwargs = {} if cls is WSDMCocoDataset else {"with_masks": with_masks}
+    kwargs = {"with_masks": with_masks} if cls is CocoDataset else {}
     return cls(os.path.join(root, sub["ann_file"]),
                os.path.join(root, sub["img_dir"]), **kwargs)
 
@@ -204,6 +206,21 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
     rng = jax.random.PRNGKey(1)
     ckpt_dir = os.path.join(work_dir, "ckpt")
     log_int = cfg.get("log_config", {}).get("interval", 50)
+
+    # in-training evaluation + best checkpoint (mmcv EvalHook counterpart;
+    # det configs use `evaluation = dict(metric=['bbox', 'segm'])`)
+    ev_cfg = dict(cfg.get("evaluation", {}))
+    ev_int = None if synthetic else ev_cfg.get("interval")
+    val_ds = None
+    if ev_int:
+        try:
+            val_ds = build_det_dataset(cfg.data, "val",
+                                       with_masks=needs_masks)
+        except (KeyError, FileNotFoundError) as e:
+            log_fn(f"eval hook disabled (no val dataset: {e})")
+            ev_int = None
+    best = -float("inf")
+
     t_last = time.perf_counter()
     for i in range(total):
         b = shard_batch(mesh, next(it))
@@ -217,6 +234,22 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
         if (i + 1) % cfg.get("checkpoint_config", {}).get(
                 "interval", 5000) == 0 or (i + 1) == total:
             save_checkpoint(ckpt_dir, i + 1, jax.device_get(state))
+        if ev_int and ((i + 1) % ev_int == 0 or (i + 1) == total):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            mets = ev_cfg.get("metric", ["bbox"])
+            mets = [mets] if isinstance(mets, str) else list(mets)
+            metrics = run_det_eval(
+                cfg, variables, val_ds,
+                iou_types=tuple(m for m in ("bbox", "segm") if m in mets),
+                max_images=ev_cfg.get("max_images"), log_fn=log_fn)
+            key = ev_cfg.get("save_best")
+            if key and metrics.get(key, -float("inf")) > best:
+                best = metrics[key]
+                save_checkpoint(os.path.join(work_dir, f"best_{key}"),
+                                i + 1, jax.device_get(state))
+                log_fn(f"iter {i+1}: new best {key}={best:.4f}")
+            t_last = time.perf_counter()
     return state
 
 
@@ -232,9 +265,10 @@ def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
         return model.apply(variables, normalize(img))
 
     n = min(len(dataset), max_images or len(dataset))
+    bucket = cfg.get("test_cfg", {}).get("pad_bucket", 128)
     for i in range(n):
         img, gts = dataset.load(i)
-        x, (H, W) = pad_to_multiple(jnp.asarray(img, jnp.float32)[None], 32)
+        x, (H, W) = pad_to_bucket(jnp.asarray(img, jnp.float32)[None], bucket)
         out = infer(x)
         dets = {k: np.asarray(v[0]) for k, v in out.items()}
         if "masks" in dets and "segm" in evaluators:
@@ -258,5 +292,107 @@ def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
     metrics = {}
     for t, ev in evaluators.items():
         metrics.update(ev.summarize())
+    log_fn(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+    return metrics
+
+
+def run_grounding_eval(cfg, variables, dataset, aug_test: bool = False,
+                       max_images: Optional[int] = None, log_fn=print,
+                       tokenizer=None):
+    """Single-box grounding evaluation: `--eval IoU`.
+
+    Per image the top-scoring box (or the multi-scale TTA vote) is compared
+    against the single gt box — Acc@0.5-IoU + mIoU, the reference
+    `wsdm2023/mmdet_custom/datasets/vg_dataset.py:45-100` protocol.
+    """
+    from vitadapter.data.grounding import grounding_metrics
+    from vitadapter.det.grounding_dino import aug_test_vote
+
+    model = build_model(dict(cfg.model))
+    if tokenizer is None:
+        from vitadapter.data.tokenization import ClipTokenizer
+        tokenizer = ClipTokenizer(cfg.data.get("bpe_vocab"))
+    tok = tokenizer
+    max_sent = cfg.data.get("max_sent_len", 128)
+    tta_ratios = (0.75, 1.0, 1.25) if aug_test else (1.0,)
+
+    @jax.jit
+    def infer(img, ids, mask):
+        return model.apply(variables, normalize(img), ids, mask)
+
+    preds, gts = [], []
+    n = min(len(dataset), max_images or len(dataset))
+    for i in range(n):
+        img, t = dataset.load(i)
+        ids, r_mask = tok.tokenize_refer(t.get("question", ""), max_sent)
+        ids = jnp.asarray(ids, jnp.int32)[None]
+        r_mask = jnp.asarray(r_mask, jnp.int32)[None]
+        per_scale = []
+        h0, w0 = img.shape[:2]
+        for r in tta_ratios:
+            im2, _ = T.resize_keep_ratio(
+                img, None, (max(h0, w0), min(h0, w0)), r)
+            x, _ = pad_to_bucket(jnp.asarray(im2, jnp.float32)[None],
+                                 cfg.get("test_cfg", {}).get("pad_bucket",
+                                                             128))
+            out = infer(x, ids, r_mask)
+            res = {k: np.asarray(v[0]) for k, v in out.items()}
+            sy = img.shape[0] / im2.shape[0]
+            sx = img.shape[1] / im2.shape[1]
+            res["boxes"] = res["boxes"] * np.asarray([sx, sy, sx, sy],
+                                                     np.float32)
+            per_scale.append(res)
+        if len(per_scale) == 1:
+            best = per_scale[0]["boxes"][int(np.argmax(
+                per_scale[0]["scores"]))]
+        else:
+            best = aug_test_vote(per_scale)
+        preds.append(best)
+        gts.append(np.asarray(t["boxes"][0], np.float32))
+        if (i + 1) % 100 == 0:
+            log_fn(f"eval {i+1}/{n}")
+    metrics = grounding_metrics(preds, gts)
+    log_fn(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+    return metrics
+
+
+def run_panoptic_eval(cfg, variables, dataset,
+                      max_images: Optional[int] = None, log_fn=print):
+    """Panoptic-quality evaluation: `--eval PQ`.
+
+    Per-query class/mask predictions are fused into a panoptic id map
+    (`heads/panoptic.py::panoptic_fuse`) and scored against the dataset's
+    gt panoptic maps. Reference pins this printout at
+    `detection/configs/mask2former/README.md:84`.
+    """
+    from vitadapter.det.panoptic_eval import PQEvaluator
+    from vitadapter.heads.panoptic import panoptic_fuse
+
+    model = build_model(dict(cfg.model))
+    pcfg = dict(cfg.get("panoptic", {}))
+    n_th = pcfg.get("num_things", dataset.num_things)
+    n_st = pcfg.get("num_stuff", dataset.num_stuff)
+
+    @jax.jit
+    def infer(img):
+        cls_q, mask_q = model.apply(variables, normalize(img),
+                                    return_queries=True)
+        return panoptic_fuse(
+            cls_q[0], mask_q[0], num_things=n_th, num_stuff=n_st,
+            object_mask_thr=pcfg.get("object_mask_thr", 0.8),
+            iou_thr=pcfg.get("iou_thr", 0.8))
+
+    ev = PQEvaluator(num_things=n_th, num_stuff=n_st)
+    n = min(len(dataset), max_images or len(dataset))
+    for i in range(n):
+        img, t = dataset.load(i)
+        H, W = img.shape[:2]
+        x, _ = pad_to_bucket(jnp.asarray(img, jnp.float32)[None],
+                             cfg.get("test_cfg", {}).get("pad_bucket", 128))
+        pan = np.asarray(infer(x))[:H, :W]
+        ev.add_image(pan, t["pan"])
+        if (i + 1) % 100 == 0:
+            log_fn(f"eval {i+1}/{n}")
+    metrics = ev.summarize()
     log_fn(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
     return metrics

@@ -18,7 +18,8 @@ import numpy as np
 from vitadapter.builder import build_model
 from vitadapter.data.datasets import DATASETS
 from vitadapter.data.metrics import confusion_matrix, miou_from_confusion
-from vitadapter.data.preprocess import normalize, pad_to_multiple
+from vitadapter.data.preprocess import (normalize, pad_to_bucket,
+                                         pad_to_multiple)
 from vitadapter.data import transforms as T
 from vitadapter.models.segmentor import flip_tta, slide_inference
 from vitadapter.parallel.mesh import make_mesh, replicate, shard_batch
@@ -70,6 +71,23 @@ def synthetic_batches(batch_size: int, crop, num_classes: int):
             "label": rng.randint(0, num_classes,
                                  (batch_size, *crop)).astype(np.int32),
         }
+
+
+class SyntheticSegDataset:
+    """Tiny fixed in-memory (img, seg) set for the synthetic-mode eval hook."""
+
+    def __init__(self, n: int, crop, num_classes: int, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.items = [
+            (rng.randint(0, 256, (*crop, 3)).astype(np.uint8),
+             rng.randint(0, num_classes, crop).astype(np.int32))
+            for _ in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, i: int):
+        return self.items[i]
 
 
 def run_training(cfg, work_dir: str, resume: bool = False,
@@ -135,6 +153,24 @@ def run_training(cfg, work_dir: str, resume: bool = False,
 
     log_int = cfg.get("log_config", {}).get("interval", 50)
     ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 1000)
+
+    # in-training evaluation + best-checkpoint selection (the reference's
+    # mmcv EvalHook: `evaluation = dict(interval=8000, metric='mIoU',
+    # save_best='mIoU')`, config `...896_80k_ade20k_ss.py:157`)
+    ev_cfg = dict(cfg.get("evaluation", {}))
+    ev_int = ev_cfg.get("interval")
+    val_ds = None
+    if ev_int:
+        if synthetic:
+            val_ds = SyntheticSegDataset(2, crop, num_classes)
+        else:
+            try:
+                val_ds = build_dataset(cfg.data, "val")
+            except (KeyError, FileNotFoundError) as e:
+                log_fn(f"eval hook disabled (no val dataset: {e})")
+                ev_int = None
+    best = -float("inf")
+
     rng = jax.random.PRNGKey(1)
     t_last = time.perf_counter()
     data_time = 0.0
@@ -160,6 +196,20 @@ def run_training(cfg, work_dir: str, resume: bool = False,
             save_checkpoint(ckpt_dir, i + 1, jax.device_get(state),
                             cfg.get("checkpoint_config", {}).get(
                                 "max_keep_ckpts", 1))
+        if ev_int and ((i + 1) % ev_int == 0 or (i + 1) == total):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            metrics = run_eval(cfg, variables, val_ds,
+                               max_images=ev_cfg.get("max_images"),
+                               log_fn=log_fn)
+            key = ev_cfg.get("save_best")
+            if key and metrics.get(key, -float("inf")) > best:
+                best = metrics[key]
+                save_checkpoint(os.path.join(work_dir, f"best_{key}"),
+                                i + 1, jax.device_get(state))
+                log_fn(f"iter {i+1}: new best {key}={best:.4f} "
+                       f"-> {work_dir}/best_{key}")
+            t_last = time.perf_counter()  # don't count eval in step time
     return state
 
 
@@ -193,10 +243,11 @@ def run_eval(cfg, variables, dataset, aug_test: bool = False,
 
     cm = np.zeros((num_classes, num_classes), np.int64)
     n = min(len(dataset), max_images or len(dataset))
+    bucket = cfg.get("test_cfg", {}).get("pad_bucket", 128)
     for i in range(n):
         img, seg = dataset.load(i)
         x = jnp.asarray(img, jnp.float32)[None]
-        x, (H, W) = pad_to_multiple(x, 32)
+        x, (H, W) = pad_to_bucket(x, bucket)
         if ms_cfg:
             logits = multi_scale_flip_aug(
                 crop_logits, x, num_classes,
