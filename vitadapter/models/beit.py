@@ -24,7 +24,7 @@ from flax import linen as nn
 from vitadapter.layers.attention import window_partition, window_reverse
 from vitadapter.layers.drop import DropPath
 from vitadapter.layers.mlp import Mlp
-from vitadapter.layers.patch_embed import PatchEmbed
+from vitadapter.layers.patch_embed import HybridEmbed, PatchEmbed
 
 
 def relative_position_index(wh: int, ww: int, with_cls: bool) -> np.ndarray:
@@ -191,6 +191,10 @@ class BEiT(nn.Module):
     # seg variant threads a cls token (tables carry 3 cls buckets); the det
     # windowed variant drops it entirely (reference det `base/beit.py`)
     use_cls_token: bool = True
+    # optional CNN stem replacing the patchify conv (reference HybridEmbed,
+    # det `base/beit.py:270`): any NHWC conv module; its last feature map is
+    # flattened and projected to embed_dim
+    hybrid_backbone: Optional[nn.Module] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -201,9 +205,14 @@ class BEiT(nn.Module):
               else [self.window_size] * depth)
         grid = self.img_size // self.patch_size
         dpr = np.linspace(0, self.drop_path_rate, depth)
-        self.patch_embed = PatchEmbed(patch_size=self.patch_size,
-                                      embed_dim=self.embed_dim,
-                                      dtype=self.dtype)
+        if self.hybrid_backbone is not None:
+            self.patch_embed = HybridEmbed(backbone=self.hybrid_backbone,
+                                           embed_dim=self.embed_dim,
+                                           dtype=self.dtype)
+        else:
+            self.patch_embed = PatchEmbed(patch_size=self.patch_size,
+                                          embed_dim=self.embed_dim,
+                                          dtype=self.dtype)
         self.cls_token = self.param("cls_token",
                                     nn.initializers.normal(0.02),
                                     (1, 1, self.embed_dim), jnp.float32)
