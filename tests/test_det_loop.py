@@ -35,7 +35,11 @@ def _make_dataset(tmp_path, n=3):
 
 def test_det_train_batches(tmp_path):
     ds = _make_dataset(tmp_path)
-    cfg = {"crop_size": [64, 64], "max_instances": 5}
+    # tiny-geometry scale sets so the AutoAugment policy (built for 1333px
+    # COCO) keeps boxes inside the 64px test canvas
+    cfg = {"crop_size": [64, 64], "max_instances": 5,
+           "det_scales": [48, 56, 64], "det_scales_small": [40, 48],
+           "det_crop_range": [40, 64], "max_long_edge": 96}
     it = det_train_batches(ds, cfg, batch_size=2, seed=0)
     for _ in range(3):
         b = next(it)

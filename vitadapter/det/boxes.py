@@ -23,11 +23,18 @@ def bbox_area(boxes: jax.Array) -> jax.Array:
 
 
 def bbox_overlaps(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """IoU matrix (N, M) for xyxy boxes (mmdet `bbox_overlaps` semantics)."""
-    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
-    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0)
-    inter = wh[..., 0] * wh[..., 1]
+    """IoU matrix (N, M) for xyxy boxes (mmdet `bbox_overlaps` semantics).
+
+    Width/height overlaps are computed as separate (..., N, M) arrays — a
+    stacked (..., N, M, 2) intermediate puts a size-2 trailing dim into the
+    TPU (8, 128) tile and inflates HBM temp by up to 64x at RPN proposal
+    counts (observed 12G for a 191M tensor).
+    """
+    w = jnp.maximum(jnp.minimum(a[..., :, None, 2], b[..., None, :, 2])
+                    - jnp.maximum(a[..., :, None, 0], b[..., None, :, 0]), 0)
+    h = jnp.maximum(jnp.minimum(a[..., :, None, 3], b[..., None, :, 3])
+                    - jnp.maximum(a[..., :, None, 1], b[..., None, :, 1]), 0)
+    inter = w * h
     union = bbox_area(a)[..., :, None] + bbox_area(b)[..., None, :] - inter
     return inter / jnp.maximum(union, eps)
 

@@ -36,11 +36,19 @@ class MaskRCNN(nn.Module):
     num_proposals_train: int = 1000
     num_roi_samples: int = 512
     max_dets: int = 100
+    # "fpn" (default) or "channel_mapper" (ChannelMapperWithPooling — the
+    # reference `mask_rcnn_deit_adapter_small_3x_coco.py` neck variant)
+    neck_type: str = "fpn"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.neck = FPN(out_channels=self.fpn_channels, num_outs=5,
-                        dtype=self.dtype)
+        if self.neck_type == "channel_mapper":
+            from vitadapter.det.necks import ChannelMapperWithPooling
+            self.neck = ChannelMapperWithPooling(
+                out_channels=self.fpn_channels, num_outs=5, dtype=self.dtype)
+        else:
+            self.neck = FPN(out_channels=self.fpn_channels, num_outs=5,
+                            dtype=self.dtype)
         self.rpn_head = RPNHead(num_anchors=3, channels=self.fpn_channels,
                                 dtype=self.dtype)
         self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes,

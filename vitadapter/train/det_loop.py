@@ -43,10 +43,28 @@ def build_det_dataset(data_cfg: Dict[str, Any], split: str,
 
 def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0,
                       tokenizer=None) -> Iterator[Dict[str, np.ndarray]]:
+    """Reference-fidelity det pipeline into static-shape batches:
+    RandomFlip -> AutoAugment (11-scale short-edge resize | resize ->
+    absolute_range crop -> resize) -> crop/pad to the static canvas
+    (`mask_rcnn_deit_adapter_tiny_fpn_3x_coco.py:37-97`); photometric
+    distortion where the config asks (HTC++-style). Grounding text rides
+    along: left/right words swap with the image flip, optional paraphrase
+    cache augmentation."""
     rng = np.random.RandomState(seed)
     ch, cw = data_cfg["crop_size"]
     max_inst = data_cfg.get("max_instances", 100)
     max_sent = data_cfg.get("max_sent_len", 128)
+    autoaug = data_cfg.get("autoaug", True)
+    photometric = data_cfg.get("photometric", False)
+    max_long = data_cfg.get("max_long_edge", 1333)
+    scales = tuple(data_cfg.get("det_scales", T.DET_SCALES))
+    scales_small = tuple(data_cfg.get("det_scales_small",
+                                      T.DET_SCALES_SMALL))
+    crop_range = tuple(data_cfg.get("det_crop_range", (384, 600)))
+    para = None
+    if tokenizer is not None and data_cfg.get("paraphrase_cache"):
+        from vitadapter.data.grounding import ParaphraseCache
+        para = ParaphraseCache(data_cfg["paraphrase_cache"])
     n = len(dataset)
     order = rng.permutation(n)
     pos = 0
@@ -58,53 +76,35 @@ def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0,
                 pos = 0
             img, t = dataset.load(int(order[pos]))
             pos += 1
-            # multi-scale resize keeping ratio into the crop, flip, pad
-            ratio = rng.uniform(0.75, 1.25)
-            img2, _ = T.resize_keep_ratio(img, None, (cw, ch), ratio)
-            sy = img2.shape[0] / img.shape[0]
-            sx = img2.shape[1] / img.shape[1]
-            boxes = t["boxes"] * np.asarray([sx, sy, sx, sy], np.float32)
-            masks = t.get("masks")
-            if masks is not None and len(masks):
-                masks = np.stack([
-                    T._pil_resize(m.astype(np.uint8),
-                                  (img2.shape[1], img2.shape[0]),
-                                  nearest=True) for m in masks])
-            elif masks is not None:
-                masks = np.zeros((0, img2.shape[0], img2.shape[1]), np.uint8)
-            if rng.rand() < 0.5:
-                img2 = img2[:, ::-1]
-                w = img2.shape[1]
-                boxes = boxes[:, [2, 1, 0, 3]] * np.asarray(
-                    [-1, 1, -1, 1]) + np.asarray([w, 0, w, 0])
-                if masks is not None:
-                    masks = masks[:, :, ::-1]
-            h, w = img2.shape[:2]
-            img2 = np.pad(img2, ((0, max(ch - h, 0)), (0, max(cw - w, 0)),
-                                 (0, 0)))[:ch, :cw]
-            if masks is not None:
-                masks = np.pad(masks, ((0, 0), (0, max(ch - h, 0)),
-                                       (0, max(cw - w, 0))))[:, :ch, :cw]
-            # clip to the crop; drop boxes that became degenerate
-            boxes = np.clip(boxes, 0, [cw, ch, cw, ch]).astype(np.float32)
-            keep = ((boxes[:, 2] - boxes[:, 0] > 1)
-                    & (boxes[:, 3] - boxes[:, 1] > 1))
-            t2 = {k: (v[keep] if isinstance(v, np.ndarray) and len(v) == len(keep)
-                      else v) for k, v in t.items()}
+            flip = bool(rng.rand() < 0.5)
+            img2, boxes, masks, keep = T.det_train_transform(
+                rng, img, t["boxes"].astype(np.float32), t.get("masks"),
+                (ch, cw), autoaug=autoaug, photometric=photometric,
+                max_long=max_long, flip=flip, scales=scales,
+                scales_small=scales_small, crop_range=crop_range)
+            t2 = {k: (v[keep] if isinstance(v, np.ndarray)
+                      and len(v) == len(keep) else v) for k, v in t.items()}
             t2["boxes"] = boxes[keep]
             t2["masks"] = masks[keep] if masks is not None else None
             targets.append(pad_targets(t2, max_inst))
             imgs.append(img2)
             if tokenizer is not None:
-                refs.append(tokenizer.tokenize_refer(
-                    t.get("question", ""), max_sent))
-        batch = {"image": np.stack(imgs).astype(np.float32),
+                q = t.get("question", "")
+                if para is not None:
+                    q = para.maybe_paraphrase(rng, q)
+                if flip:
+                    from vitadapter.data.tokenization import random_flip_refer
+                    q = random_flip_refer(q)
+                refs.append(tokenizer.tokenize_refer(q, max_sent))
+        # ship uint8 images / bool masks: 4x less host->device traffic; the
+        # train step casts on device (normalize() handles the f32 cast)
+        batch = {"image": np.stack(imgs).astype(np.uint8),
                  "gt_boxes": np.stack([t["boxes"] for t in targets]),
                  "gt_labels": np.stack([t["labels"] for t in targets]),
                  "gt_valid": np.stack([t["valid"] for t in targets])}
         if targets[0].get("masks") is not None:
             batch["gt_masks"] = np.stack(
-                [t["masks"] for t in targets]).astype(np.float32)
+                [t["masks"] for t in targets]).astype(bool)
         if tokenizer is not None:
             batch["refer"] = np.asarray([r[0] for r in refs], np.int32)
             batch["r_mask"] = np.asarray([r[1] for r in refs], np.int32)
@@ -151,7 +151,7 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
                           gt_labels=batch["gt_labels"],
                           gt_valid=batch["gt_valid"], rng=rng)
             if needs_masks:
-                kwargs["gt_masks"] = batch["gt_masks"]
+                kwargs["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
             args = (normalize(batch["image"]),)
             if is_grounding:
                 args = args + (batch["refer"], batch["r_mask"])
@@ -201,7 +201,11 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
         if is_grounding:
             from vitadapter.data.tokenization import ClipTokenizer
             tok = ClipTokenizer(cfg.data.get("bpe_vocab"))
-        it = det_train_batches(ds, cfg.data, batch, tokenizer=tok)
+        from vitadapter.data.loader import prefetch
+        it = prefetch(
+            lambda s: det_train_batches(ds, cfg.data, batch, seed=s,
+                                        tokenizer=tok),
+            num_threads=cfg.data.get("workers", 4))
 
     rng = jax.random.PRNGKey(1)
     ckpt_dir = os.path.join(work_dir, "ckpt")
@@ -222,15 +226,26 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
     best = -float("inf")
 
     t_last = time.perf_counter()
+    data_time = 0.0
+    # double-buffer: the NEXT batch is fetched + device_put right after the
+    # (async) step dispatch, so host decode/augment and host->device
+    # transfer overlap device compute (reference: DataLoader prefetch +
+    # pinned-memory async H2D)
+    b = shard_batch(mesh, next(it))
     for i in range(total):
-        b = shard_batch(mesh, next(it))
         rng, sub = jax.random.split(rng)
         state, logs = jstep(state, b, sub)
+        t0 = time.perf_counter()
+        if i + 1 < total:
+            b = shard_batch(mesh, next(it))
+        data_time += time.perf_counter() - t0
         if (i + 1) % log_int == 0 or (i + 1) == total:
             dt = (time.perf_counter() - t_last) / log_int
             log_fn(f"iter {i+1}/{total} loss={float(logs['loss']):.4f} "
-                   f"time={dt:.3f}s lr={float(schedule(i)):.3e}")
+                   f"time={dt:.3f}s data_time={data_time/log_int:.3f}s "
+                   f"lr={float(schedule(i)):.3e}")
             t_last = time.perf_counter()
+            data_time = 0.0
         if (i + 1) % cfg.get("checkpoint_config", {}).get(
                 "interval", 5000) == 0 or (i + 1) == total:
             save_checkpoint(ckpt_dir, i + 1, jax.device_get(state))

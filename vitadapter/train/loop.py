@@ -149,7 +149,11 @@ def run_training(cfg, work_dir: str, resume: bool = False,
         it = synthetic_batches(batch, crop, num_classes)
     else:
         ds = build_dataset(cfg.data, "train")
-        it = train_batches(ds, cfg.data, batch)
+        # threaded prefetch hides host-side decode/augment behind device
+        # compute (reference: multi-worker DataLoader)
+        from vitadapter.data.loader import prefetch
+        it = prefetch(lambda s: train_batches(ds, cfg.data, batch, seed=s),
+                      num_threads=cfg.data.get("workers", 4))
 
     log_int = cfg.get("log_config", {}).get("interval", 50)
     ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 1000)
@@ -174,13 +178,16 @@ def run_training(cfg, work_dir: str, resume: bool = False,
     rng = jax.random.PRNGKey(1)
     t_last = time.perf_counter()
     data_time = 0.0
+    # double-buffer: fetch + device_put of the NEXT batch happens after the
+    # (async) step dispatch, overlapping device compute
+    sb = shard_batch(mesh, next(it))
     for i in range(start, total):
-        t0 = time.perf_counter()
-        b = next(it)
-        sb = shard_batch(mesh, b)
-        data_time += time.perf_counter() - t0
         rng, sub = jax.random.split(rng)
         state, logs = jstep(state, sb["image"], sb["label"], sub)
+        t0 = time.perf_counter()
+        if i + 1 < total:
+            sb = shard_batch(mesh, next(it))
+        data_time += time.perf_counter() - t0
         if (i + 1) % log_int == 0:
             logs = {k: float(v) for k, v in logs.items()}
             dt = time.perf_counter() - t_last
