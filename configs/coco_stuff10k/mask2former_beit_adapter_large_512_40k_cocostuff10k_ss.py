@@ -1,15 +1,11 @@
-# Mask2Former + BEiT-Adapter-L on COCO-Stuff-10K (reference coco_stuff10k
-# collection).
-_base_ = ["../mask2former/mask2former_beit_adapter_large_896_80k_ade20k_ss.py"]
-model = dict(backbone=dict(img_size=512), decode_head=dict(num_classes=171))
-data = dict(
-    _delete_=True,
-    dataset_type="COCOStuffDataset",
-    data_root="data/coco_stuff10k",
-    train=dict(img_dir="images/train2014", ann_dir="annotations/train2014"),
-    val=dict(img_dir="images/test2014", ann_dir="annotations/test2014"),
-    samples_per_chip=2, crop_size=[512, 512], scale=[2048, 512],
-    ratio_range=[0.5, 2.0], cat_max_ratio=0.75)
-runner = dict(max_iters=40000)
-num_classes = 171
+# Mask2Former + BEiT-Adapter-L on COCO-Stuff-10K, 512 crop, 40k. BASELINE:
+# 53.2 mIoU SS (`segmentation/README.md:79`). Counterpart of reference
+# `coco_stuff10k/mask2former_beit_adapter_large_512_40k_cocostuff10k_ss.py`.
+_base_ = [
+    "../_base_/models/mask2former_beit_cocostuff.py",
+    "../_base_/datasets/coco-stuff10k.py",
+    "../_base_/schedules/schedule_40k.py",
+]
+model = dict(backbone=dict(img_size=512))
 test_cfg = dict(mode="slide", crop_size=[512, 512], stride=[341, 341])
+pretrained = "pretrained/beit_large_patch16_224_pt22k_ft22k.pth"

@@ -1,13 +1,10 @@
-# Mask2Former + BEiT-Adapter-L on Pascal Context 59.
-_base_ = ["../mask2former/mask2former_beit_adapter_large_896_80k_ade20k_ss.py"]
-model = dict(backbone=dict(img_size=480), decode_head=dict(num_classes=59))
-data = dict(
-    _delete_=True,
-    dataset_type="PascalContextDataset",
-    data_root="data/VOCdevkit/VOC2010",
-    train=dict(img_dir="JPEGImages", ann_dir="SegmentationClassContext"),
-    val=dict(img_dir="JPEGImages", ann_dir="SegmentationClassContext"),
-    samples_per_chip=2, crop_size=[480, 480], scale=[2048, 480],
-    ratio_range=[0.5, 2.0], cat_max_ratio=0.75)
-runner = dict(max_iters=40000)
-num_classes = 59
+# Mask2Former + BEiT-Adapter-L on Pascal Context 59, 480 crop, 40k.
+# BASELINE: 67.8 mIoU SS (`segmentation/README.md:95`). Counterpart of
+# reference `mask2former_beit_adapter_large_480_40k_pascal_context_59_ss.py`.
+_base_ = [
+    "../_base_/models/mask2former_beit_pascal.py",
+    "../_base_/datasets/pascal_context_59.py",
+    "../_base_/schedules/schedule_40k.py",
+]
+test_cfg = dict(mode="slide", crop_size=[480, 480], stride=[320, 320])
+pretrained = "pretrained/beit_large_patch16_224_pt22k_ft22k.pth"

@@ -37,10 +37,11 @@ def test_base_inheritance_and_delete():
     path = os.path.join(ROOT, "cityscapes",
                         "mask2former_beit_adapter_large_896_80k_cityscapes_ss.py")
     cfg = Config.fromfile(path)
-    # overridden subtree
+    # per-dataset model base (reference `mask2former_beit_cityscapes.py`
+    # chain): 19 classes, 100 queries, 1024-dim head
     assert cfg.model["decode_head"]["num_classes"] == 19
-    # inherited from the flagship base
-    assert cfg.model["decode_head"]["num_queries"] == 200
-    # _delete_ replaced the data subtree entirely
+    assert cfg.model["decode_head"]["num_queries"] == 100
+    assert cfg.model["decode_head"]["feat_channels"] == 1024
+    # inherited from the shared mask2former_beit model base
+    assert cfg.model["backbone"]["type"] == "BEiTAdapter"
     assert cfg.data["dataset_type"] == "CityscapesDataset"
-    assert "max_instances" not in cfg.data or True

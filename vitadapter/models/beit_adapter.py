@@ -5,8 +5,9 @@ Parity target: `BEiTAdapter`
 same adapter skeleton as ViTAdapter, but
   * the BEiT cls token rides along the trunk blocks (re-attached before each
     block span, split off for the deformable interactions)
-  * `add_vit_feature` uses the PER-INTERACTION trunk outputs x1..x4 instead of
-    broadcasting the final map (reference `:110-137`, version='new')
+  * `add_vit_feature` uses the PER-INTERACTION trunk outputs x1..x4 (reference
+    seg `:111-131`); the det variant instead broadcasts the final map by
+    default (`version` attribute below)
 """
 
 from typing import Optional, Sequence
@@ -52,6 +53,12 @@ class BEiTAdapter(nn.Module):
     cffn_ratio: float = 0.25
     deform_ratio: float = 0.5
     add_vit_feature: bool = True
+    # which trunk maps feed add_vit_feature: "seg" (default) = the seg
+    # variant's per-interaction outputs x1..x4 (reference seg
+    # `beit_adapter.py:111-131`); "new" = broadcast the FINAL map to all four
+    # scales (det variant default, det `beit_adapter.py:23,129`); "old" = det
+    # alias for per-interaction (det `..._old.py` released checkpoints)
+    version: str = "seg"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -134,9 +141,9 @@ class BEiTAdapter(nn.Module):
         c1 = self.up(c2) + c1
 
         if self.add_vit_feature:
-            if len(outs) == 4:
+            if self.version != "new" and len(outs) == 4:
                 x1, x2, x3, x4 = outs
-            else:  # version='old' behavior: broadcast the final map
+            else:  # det version='new': broadcast the final map
                 x1 = x2 = x3 = x4 = outs[-1]
             x1 = resize_2d(x1, (H * 4, W * 4), "bilinear")
             x2 = resize_2d(x2, (H * 2, W * 2), "bilinear")
