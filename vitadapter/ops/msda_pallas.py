@@ -258,7 +258,7 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
     return out.transpose(0, 2, 1, 3)  # (B, Lq, M, D)
 
 
-def _fwd_ml_kernel(y_ref, x_ref, a_ref, v_ref, o_ref,
+def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
                    *, shapes, D, T, P, chunk):
     """Unified multi-level P-folded forward: ONE program per (batch*head,
     query-tile) covers ALL levels and points, chunking the flattened
@@ -268,41 +268,85 @@ def _fwd_ml_kernel(y_ref, x_ref, a_ref, v_ref, o_ref,
     family — ~6x fewer programs at pixel-decoder geometry and half the VPU
     work of the per-sample path on big levels.
 
+    Deformable sampling is LOCAL: a query tile's points touch a narrow row
+    band of each level, so most K-chunks of the one-hot contraction are
+    all-zero. `bounds_ref` (scalar-prefetched SMEM, (BM, n_tiles, 2L)
+    int32) carries each tile's per-level [lo, hi) flat-index row bounds
+    (computed host-side from the sampling coords, attention-masked);
+    chunks outside the band are skipped with `pl.when` — the dominant VPU
+    cost (the relu one-hot builds) simply never runs for them.
+
     Bilinear weights via the compare-free relu identity (see
     `_sample_kernel_onehot_pf`). Block shapes: y/x/a (1, T, L*P) fp32 with
     level l point p at column l*P+p; v (1, S, D) value dtype (S = sum HW);
-    o (1, T, D) fp32.
+    o (1, T, D) fp32, accumulated in place across chunks.
     """
     dt = v_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    bm = pl.program_id(0)
+    ti = pl.program_id(1)
     y = y_ref[0]
     x = x_ref[0]
     a = a_ref[0]
-    acc = jnp.zeros((T, D), jnp.float32)
+    o_ref[0] = jnp.zeros_like(o_ref[0])
     start = 0
     for lvl, (H, W) in enumerate(shapes):
         HW = H * W
+        lo = bounds_ref[bm, ti, 2 * lvl]
+        hi = bounds_ref[bm, ti, 2 * lvl + 1]
         c0 = 0
         while c0 < HW:
             hwc = min(chunk, HW - c0)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
-            hof = iota // W
-            h_of = hof.astype(jnp.float32)
-            w_of = (iota - hof * W).astype(jnp.float32)
-            C = jnp.zeros((T, hwc), jnp.float32)
-            for p in range(P):
-                col = lvl * P + p
-                wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]), 0.0)
-                wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]), 0.0)
-                C = C + wy * wx * a[:, col:col + 1]
-            vc = v_ref[0, start + c0:start + c0 + hwc, :]
-            acc = acc + jnp.dot(C.astype(dt), vc,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
+
+            @pl.when((lo < c0 + hwc) & (hi > c0))
+            def _(c0=c0, hwc=hwc, lvl=lvl, W=W, start=start):
+                iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
+                hof = iota // W
+                h_of = hof.astype(jnp.float32)
+                w_of = (iota - hof * W).astype(jnp.float32)
+                C = jnp.zeros((T, hwc), jnp.float32)
+                for p in range(P):
+                    col = lvl * P + p
+                    wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]),
+                                     0.0)
+                    wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]),
+                                     0.0)
+                    C = C + wy * wx * a[:, col:col + 1]
+                vc = v_ref[0, start + c0:start + c0 + hwc, :]
+                o_ref[0] += jnp.dot(C.astype(dt), vc,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec).astype(o_ref.dtype)
+
             c0 += hwc
         start += HW
-    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _row_bounds(yq, shapes, T):
+    """Per (bm, tile, level) [lo, hi) flat-index row bounds of the touched
+    sampling band. yq: (BM, nq_pad, L*P) fp32 grid y-coords. A sample at
+    continuous y touches rows floor(y)..floor(y)+1; one with y outside
+    (-1, H) has zero bilinear weight on EVERY row, so it contributes
+    nothing to the output or any gradient (incl. dattn) and is excluded —
+    this geometric criterion (NOT attention masking: dattn is nonzero even
+    where a == 0) also drops the query padding (coords -7). Tiles with no
+    in-range point get lo >= hi for multi-chunk levels (skips every
+    chunk)."""
+    BM, nq_pad, LP = yq.shape
+    L = len(shapes)
+    P = LP // L
+    yt = yq.reshape(BM, nq_pad // T, T, L, P)
+    bounds = []
+    for lvl, (H, W) in enumerate(shapes):
+        yl = yt[..., lvl, :]
+        live = (yl > -1.0) & (yl < H)
+        ymin = jnp.min(jnp.where(live, yl, jnp.inf), axis=(2, 3))
+        ymax = jnp.max(jnp.where(live, yl, -jnp.inf), axis=(2, 3))
+        r0 = jnp.clip(jnp.floor(ymin), 0, H - 1)
+        r1 = jnp.clip(jnp.floor(ymax) + 1, 0, H - 1)
+        bounds.append((r0 * W).astype(jnp.int32))          # inf -> lo=(H-1)W
+        bounds.append(((r1 + 1) * W).astype(jnp.int32))    # -inf -> hi=W
+    return jnp.stack(bounds, axis=-1)                       # (BM, nt, 2L)
 
 
 ML_CHUNK = 1024
@@ -359,23 +403,27 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
         xq = jnp.pad(xq, pad, constant_values=-7)
         aq = jnp.pad(aq, pad)
     vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+    bounds = _row_bounds(yq, spatial_shapes, T)
 
     out = pl.pallas_call(
         partial(_fwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
                 chunk=ML_CHUNK),
         out_shape=jax.ShapeDtypeStruct((BM, nq_pad, D), jnp.float32),
-        grid=(BM, nq_pad // T),
-        in_specs=[
-            pl.BlockSpec((1, T, L * P), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, L * P), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, L * P), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BM, nq_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, T, L * P), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, L * P), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, L * P), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, T, D), lambda b, t, *_: (b, t, 0)),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=VMEM_LIMIT),
-    )(yq, xq, aq, vm)
+    )(bounds, yq, xq, aq, vm)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
@@ -692,8 +740,8 @@ def _grad_grid_pallas(spatial_shapes, value, loc, attn, g):
 _PALLAS_DGRID = os.environ.get("VITADAPTER_MSDA_PALLAS_DGRID", "1") == "1"
 
 
-def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
-                   *, shapes, D, T, P, chunk):
+def _bwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
+                   dv_ref, dg_ref, dg_s, *, shapes, D, T, P, chunk):
     """Fused multi-level backward: ONE program family produces grad_value
     AND the dattn/dloc reductions, sharing the bilinear one-hot builds and
     the per-chunk Gv = g @ V^T contraction that the split `_dv_kernel` /
@@ -709,16 +757,23 @@ def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
             dlx_p   += rowsum(wy * masked-sign_x * Gv)   [x a_p * W host-side]
         dv_chunk += C^T @ g                    (accumulated across tiles)
 
+    Chunks outside the tile's sampled row band (`bounds_ref`, see
+    `_fwd_ml_kernel`) are skipped with `pl.when`; the per-point reductions
+    therefore accumulate in a VMEM scratch `dg_s` (T, 3*L*P) instead of
+    register carries, so predication is pure ref side effects.
+
     Blocks: y/x/a (1, T, L*P) fp32; g (1, T, D) fp32; v (1, S, D);
     dv (1, S, D) fp32 revisited across the (sequential) tile axis;
     dg (1, T, 3*L*P) fp32 with columns [dattn | dlx | dly] per (l, p).
     """
+    bm = pl.program_id(0)
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
     def _():
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
+    dg_s[...] = jnp.zeros_like(dg_s)
     y = y_ref[0]
     x = x_ref[0]
     a = a_ref[0]
@@ -727,19 +782,16 @@ def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
     LP = len(shapes) * P
-    da_cols = [jnp.zeros((T, 1), jnp.float32) for _ in range(LP)]
-    dx_cols = [jnp.zeros((T, 1), jnp.float32) for _ in range(LP)]
-    dy_cols = [jnp.zeros((T, 1), jnp.float32) for _ in range(LP)]
     gd = g.astype(dt)
     start = 0
     for lvl, (H, W) in enumerate(shapes):
         HW = H * W
+        lo = bounds_ref[bm, t_idx, 2 * lvl]
+        hi = bounds_ref[bm, t_idx, 2 * lvl + 1]
 
-        def chunk_step(c0, hwc, carry, dyn):
-            """One K-chunk: returns updated (da, dx, dy) col lists for this
-            level. c0 is the chunk offset within the level (traced scalar
-            when dyn, python int otherwise)."""
-            da_l, dx_l, dy_l = carry
+        def chunk_step(c0, hwc, dyn, lvl=lvl, W=W, start=start):
+            """One K-chunk; pure ref side effects (dv_ref, dg_s). c0 is a
+            traced scalar when dyn, python int otherwise."""
             iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
             hof = iota // W
             h_of = hof.astype(jnp.float32)
@@ -755,14 +807,13 @@ def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
             for p in range(P):
                 col = lvl * P + p
                 dyr = h_of - y[:, col:col + 1]
-                ady = jnp.abs(dyr)
-                wy = jnp.maximum(1.0 - ady, 0.0)
+                wy = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)
                 dxr = w_of - x[:, col:col + 1]
-                adx = jnp.abs(dxr)
-                wx = jnp.maximum(1.0 - adx, 0.0)
+                wx = jnp.maximum(1.0 - jnp.abs(dxr), 0.0)
                 t0 = wy * wx
                 C = C + t0 * a[:, col:col + 1]
-                da_l[p] = da_l[p] + jnp.sum(t0 * Gv, axis=1, keepdims=True)
+                dg_s[:, col:col + 1] += jnp.sum(t0 * Gv, axis=1,
+                                                keepdims=True)
                 # floor-convention derivative taps: -1 on (h-y) in (-1, 0],
                 # +1 on (0, 1] — BOTH taps stay active when the coordinate
                 # is exactly integral (frac 0), matching the reference's
@@ -773,10 +824,10 @@ def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
                                jnp.where(dyr > 0.0, 1.0, -1.0), 0.0)
                 sx = jnp.where((dxr > -1.0) & (dxr <= 1.0),
                                jnp.where(dxr > 0.0, 1.0, -1.0), 0.0)
-                dy_l[p] = dy_l[p] + jnp.sum((sy * wx) * Gv, axis=1,
-                                            keepdims=True)
-                dx_l[p] = dx_l[p] + jnp.sum((wy * sx) * Gv, axis=1,
-                                            keepdims=True)
+                dg_s[:, 2 * LP + col:2 * LP + col + 1] += jnp.sum(
+                    (sy * wx) * Gv, axis=1, keepdims=True)
+                dg_s[:, LP + col:LP + col + 1] += jnp.sum(
+                    (wy * sx) * Gv, axis=1, keepdims=True)
             contrib = jax.lax.dot_general(
                 C.astype(dt), gd,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -787,33 +838,34 @@ def _bwd_ml_kernel(y_ref, x_ref, a_ref, g_ref, v_ref, dv_ref, dg_ref,
             else:
                 cur = dv_ref[0, start + c0:start + c0 + hwc, :]
                 dv_ref[0, start + c0:start + c0 + hwc, :] = cur + contrib
-            return da_l, dx_l, dy_l
 
-        zeros = lambda: [jnp.zeros((T, 1), jnp.float32) for _ in range(P)]
         if HW % chunk == 0 and HW > chunk:
             # lax.fori_loop keeps only one chunk's temporaries live — the
             # python-unrolled form made Mosaic hold every chunk's ~20 fp32
             # (T, chunk) arrays simultaneously (>100M scoped vmem at the
             # pixel-decoder geometry)
-            da_l, dx_l, dy_l = jax.lax.fori_loop(
-                0, HW // chunk,
-                lambda c, carry: chunk_step(c * chunk, chunk, carry, True),
-                (zeros(), zeros(), zeros()))
+            def body(c, _):
+                c0 = c * chunk
+
+                @pl.when((lo < c0 + chunk) & (hi > c0))
+                def _():
+                    chunk_step(c0, chunk, True)
+
+                return 0
+
+            jax.lax.fori_loop(0, HW // chunk, body, 0)
         else:
-            carry = (zeros(), zeros(), zeros())
             c0 = 0
             while c0 < HW:
                 hwc = min(chunk, HW - c0)
-                carry = chunk_step(c0, hwc, carry, False)
+
+                @pl.when((lo < c0 + hwc) & (hi > c0))
+                def _(c0=c0, hwc=hwc):
+                    chunk_step(c0, hwc, False)
+
                 c0 += hwc
-            da_l, dx_l, dy_l = carry
-        for p in range(P):
-            col = lvl * P + p
-            da_cols[col] = da_l[p]
-            dx_cols[col] = dx_l[p]
-            dy_cols[col] = dy_l[p]
         start += HW
-    dg_ref[0] = jnp.concatenate(da_cols + dx_cols + dy_cols, axis=1)
+    dg_ref[0] = dg_s[...]
 
 
 def _backward_ml(spatial_shapes, value, loc, attn, g):
@@ -848,26 +900,32 @@ def _backward_ml(spatial_shapes, value, loc, attn, g):
         aq = jnp.pad(aq, pad)
         gq = jnp.pad(gq, pad)
     vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+    bounds = _row_bounds(yq, spatial_shapes, T)
 
     dv, dg = pl.pallas_call(
         partial(_bwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
                 chunk=BWD_ML_CHUNK),
         out_shape=(jax.ShapeDtypeStruct((BM, S, D), jnp.float32),
                    jax.ShapeDtypeStruct((BM, nq_pad, 3 * LP), jnp.float32)),
-        grid=(BM, nq_pad // T),
-        in_specs=[
-            pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, LP), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, T, D), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
-        ],
-        out_specs=(pl.BlockSpec((1, S, D), lambda b, t: (b, 0, 0)),
-                   pl.BlockSpec((1, T, 3 * LP), lambda b, t: (b, t, 0))),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BM, nq_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, D), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
+            ],
+            out_specs=(pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
+                       pl.BlockSpec((1, T, 3 * LP),
+                                    lambda b, t, *_: (b, t, 0))),
+            scratch_shapes=[pltpu.VMEM((T, 3 * LP), jnp.float32)],
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT),
-    )(yq, xq, aq, gq, vm)
+    )(bounds, yq, xq, aq, gq, vm)
 
     dv = dv.reshape(B, M, S, D).transpose(0, 2, 1, 3).astype(value.dtype)
     dg = dg[:, :Lq].reshape(B, M, Lq, 3 * LP)
