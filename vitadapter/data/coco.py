@@ -19,11 +19,19 @@ from PIL import Image, ImageDraw
 
 
 def decode_rle(counts, size) -> np.ndarray:
-    """Decode COCO RLE (compressed string or uncompressed list) -> (H, W)."""
+    """Decode COCO RLE (compressed string or uncompressed list) -> (H, W).
+
+    Routes compressed strings through the C codec (`native/rle.cpp`) when
+    the toolchain built it; this python path is the reference fallback."""
     H, W = size
     if isinstance(counts, list):
         runs = counts
     else:
+        from vitadapter.ops.native import rle_decode
+        s = counts.decode("ascii") if isinstance(counts, bytes) else counts
+        native = rle_decode(s, H, W)
+        if native is not None:
+            return native
         # LEB128-style signed varint deltas (COCO compressed RLE)
         if isinstance(counts, str):
             counts = counts.encode("ascii")
@@ -54,8 +62,13 @@ def decode_rle(counts, size) -> np.ndarray:
 
 
 def encode_rle(mask: np.ndarray) -> Dict:
-    """Binary (H, W) mask -> COCO compressed RLE dict."""
+    """Binary (H, W) mask -> COCO compressed RLE dict (C codec when built,
+    python fallback below)."""
     H, W = mask.shape
+    from vitadapter.ops.native import rle_encode as rle_encode_native
+    s = rle_encode_native(mask)
+    if s is not None:
+        return {"size": [H, W], "counts": s}
     flat = np.asarray(mask, np.uint8).T.reshape(-1)
     # run lengths starting with a 0-run
     change = np.nonzero(np.diff(flat))[0] + 1

@@ -44,9 +44,17 @@ def box_iou(dets: np.ndarray, gts: np.ndarray,
 
 def mask_iou(dets: np.ndarray, gts: np.ndarray,
              iscrowd: Optional[np.ndarray] = None) -> np.ndarray:
-    """IoU between binary masks dets (D, H, W) and gts (G, H, W)."""
+    """IoU between binary masks dets (D, H, W) and gts (G, H, W).
+
+    Uses the bit-packed popcount C kernel (`native/rle.cpp`) when built —
+    the same role pycocotools' C maskApi plays for the reference — with
+    this dense-numpy path as fallback."""
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)))
+    from vitadapter.ops.native import mask_iou_native
+    native = mask_iou_native(dets, gts, iscrowd)
+    if native is not None:
+        return native
     d = dets.reshape(len(dets), -1).astype(bool)
     g = gts.reshape(len(gts), -1).astype(bool)
     inter = (d[:, None] & g[None, :]).sum(-1).astype(np.float64)
