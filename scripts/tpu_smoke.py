@@ -107,6 +107,61 @@ def run_case(name, shapes, B, Lq, M, D, P, dtype, check_grads):
     return ok
 
 
+def run_point_sample(dtype):
+    """Point-sample kernel (PointRend losses) at Mask2Former loss geometry:
+    fwd + dmask vs the XLA take-along reference, OOB points included."""
+    from vitadapter.ops.point_sample_pallas import point_sample_pallas
+    from vitadapter.ops import point_sample as ps_mod
+
+    rng = np.random.RandomState(7)
+    N, H, W, P = 24, 128, 128, 3136
+    masks = jnp.asarray(rng.randn(N, H, W), dtype)
+    pts = jnp.asarray(rng.rand(N, P, 2) * 1.1 - 0.05, jnp.float32)
+    g = jnp.asarray(rng.randn(N, P), jnp.float32)
+
+    def ref(m, p):
+        # the XLA gather reference body (bypasses the TPU pallas dispatch)
+        Nm, Hm, Wm = m.shape
+        x = p[..., 0] * Wm - 0.5
+        y = p[..., 1] * Hm - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx, ly = x - x0, y - y0
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        out = jnp.zeros(p.shape[:-1], jnp.float32)
+        flat = m.astype(jnp.float32).reshape(Nm, Hm * Wm)
+        for dx, dy, w in ((0, 0, (1 - lx) * (1 - ly)),
+                          (1, 0, lx * (1 - ly)), (0, 1, (1 - lx) * ly),
+                          (1, 1, lx * ly)):
+            xi, yi = x0i + dx, y0i + dy
+            valid = (xi >= 0) & (xi < Wm) & (yi >= 0) & (yi < Hm)
+            idx = jnp.clip(yi, 0, Hm - 1) * Wm + jnp.clip(xi, 0, Wm - 1)
+            gv = jnp.take_along_axis(flat, idx.reshape(Nm, -1),
+                                     axis=1).reshape(idx.shape)
+            out = out + jnp.where(valid, w * gv, 0.0)
+        return out
+
+    t0 = time.time()
+    r = jax.jit(ref)(masks, pts)
+    p_out = jax.jit(point_sample_pallas)(masks, pts)
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    err = float(jnp.abs(r - p_out).max() / (jnp.abs(r).max() + 1e-9))
+    ok = err < tol
+    dr = jax.jit(jax.grad(lambda m: (ref(m, pts) * g).sum()))(masks)
+    dp = jax.jit(jax.grad(
+        lambda m: (point_sample_pallas(m, pts) * g).sum()))(masks)
+    gerr = float(jnp.abs(dr.astype(jnp.float32)
+                         - dp.astype(jnp.float32)).max()
+                 / (jnp.abs(dr.astype(jnp.float32)).max() + 1e-9))
+    gtol = 5e-5 if dtype == jnp.float32 else 4e-2
+    ok = ok and gerr < gtol
+    st = "OK" if ok else "FAIL"
+    print(f"  [{st}] point-sample  {np.dtype(dtype).name:8s} "
+          f"fwd {err:.2e} dmask {gerr:.2e}  {time.time() - t0:5.1f}s",
+          flush=True)
+    return ok
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     print(f"PFOLD={msda_pallas._PFOLD} "
@@ -124,6 +179,12 @@ def main():
                       f"{type(e).__name__}: {e}", flush=True)
                 ok = False
             all_ok = all_ok and ok
+        try:
+            all_ok = run_point_sample(dtype) and all_ok
+        except Exception as e:  # noqa: BLE001
+            print(f"  [FAIL] point-sample {np.dtype(dtype)}: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            all_ok = False
     print("SMOKE " + ("PASS" if all_ok else "FAIL"), flush=True)
     return 0 if all_ok else 1
 

@@ -20,7 +20,17 @@ def point_sample(masks: jax.Array, points: jax.Array) -> jax.Array:
 
     grid_sample(align_corners=False) semantics: pixel coord = p*size - 0.5,
     zero outside.
+
+    On TPU routes through the Pallas one-hot-contraction kernel
+    (`ops/point_sample_pallas.py` — XLA's gather lowering serializes here);
+    NOTE the kernel defines grad_points = 0, which matches every in-tree
+    caller (PointRend losses detach coords). Set
+    VITADAPTER_POINT_SAMPLE_PALLAS=0 if you need dpoints.
     """
+    from vitadapter.ops.point_sample_pallas import (
+        point_sample_pallas, use_pallas_point_sample)
+    if use_pallas_point_sample():
+        return point_sample_pallas(masks, points)
     N, H, W = masks.shape
     x = points[..., 0] * W - 0.5
     y = points[..., 1] * H - 0.5
