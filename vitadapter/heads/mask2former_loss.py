@@ -18,7 +18,7 @@ Static-shape discipline: gt classes are padded to `max_instances` with a
 validity mask; the LAP solve is a host callback (see `ops/matching.py`).
 """
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,19 +77,46 @@ def sample_gt_points(label_map: jax.Array, points: jax.Array,
 def _assign_layer(rng, cls_pred, mask_pred, label_map, gt_labels, gt_valid,
                   num_points: int, cost_cls: float, cost_mask: float,
                   cost_dice: float):
-    """Hungarian assignment for one decoder layer. Returns (B, Q) gt index or -1."""
-    B, Q = cls_pred.shape[:2]
+    """Hungarian assignment for one decoder layer. Returns (B, Q) gt index
+    or -1 (single-layer wrapper over `_assign_all_layers`)."""
+    return _assign_all_layers(
+        rng, cls_pred[None], mask_pred[None], label_map, gt_labels,
+        gt_valid, num_points, cost_cls, cost_mask, cost_dice)[0]
+
+
+def _assign_all_layers(rng, cls_all, mask_all, label_map, gt_labels,
+                       gt_valid, num_points: int, cost_cls: float,
+                       cost_mask: float, cost_dice: float):
+    """Hungarian assignments for ALL decoder layers in one device pass.
+
+    cls_all (L, B, Q, K+1), mask_all (L, B, Q, h, w) -> (L, B, Q) gt index
+    or -1. The layer assignments are independent, so their cost matrices
+    batch into a single `hungarian_assign` call — the device auction is a
+    latency-bound while_loop, and L sequential calls cost ~L x one batched
+    call. Gt indicator maps are built once and sampled at all L layers'
+    point sets through one kernel launch (points tile along the P axis).
+    """
+    L, B, Q = cls_all.shape[:3]
     G = gt_labels.shape[1]
-    coords = jax.random.uniform(rng, (B, num_points, 2))
-    # (B, Q, P): every query's mask sampled at the image's shared points
-    # (flattened to (B*Q, ...) — point_sample's Pallas path can't be vmapped)
-    h, w = mask_pred.shape[2:]
-    c_bq = jnp.broadcast_to(coords[:, None],
-                            (B, Q, num_points, 2)).reshape(B * Q,
-                                                           num_points, 2)
-    pred_pts = point_sample(mask_pred.reshape(B * Q, h, w),
-                            c_bq).reshape(B, Q, num_points)
-    gt_pts = sample_gt_points(label_map, coords, gt_labels)
+    h, w = mask_all.shape[3:]
+    P = num_points
+    coords = jax.random.uniform(rng, (L, B, P, 2))
+    # every query's mask sampled at its image's shared points
+    # (flattened — point_sample's Pallas path can't be vmapped)
+    c_bq = jnp.broadcast_to(coords[:, :, None],
+                            (L, B, Q, P, 2)).reshape(L * B * Q, P, 2)
+    pred_pts = point_sample(mask_all.reshape(L * B * Q, h, w),
+                            c_bq).reshape(L, B, Q, P)
+    # per-class gt indicators once; all layers' coords ride the P axis
+    Hf, Wf = label_map.shape[1:]
+    ind = (label_map[:, None] == gt_labels[:, :, None, None]).astype(
+        jnp.bfloat16)                                     # (B, G, Hf, Wf)
+    c_lp = jnp.moveaxis(coords, 0, 1).reshape(B, L * P, 2)
+    c_bg = jnp.broadcast_to(c_lp[:, None], (B, G, L * P, 2))
+    gt_pts = point_sample(ind.reshape(B * G, Hf, Wf),
+                          c_bg.reshape(B * G, L * P, 2))
+    gt_pts = gt_pts.reshape(B, G, L, P).astype(jnp.float32)
+    gt_pts = jnp.moveaxis(gt_pts, 2, 0)                   # (L, B, G, P)
 
     def per_image(cls_p, pr, gt, labels, valid):
         c = classification_cost(cls_p, labels, cost_cls)
@@ -97,10 +124,13 @@ def _assign_layer(rng, cls_pred, mask_pred, label_map, gt_labels, gt_valid,
         c += dice_cost(pr, gt, cost_dice)
         return c
 
-    cost = jax.vmap(per_image)(cls_pred, pred_pts, gt_pts, gt_labels, gt_valid)
+    cost = jax.vmap(per_image)(
+        cls_all.reshape(L * B, Q, -1), pred_pts.reshape(L * B, Q, P),
+        gt_pts.reshape(L * B, G, P),
+        jnp.tile(gt_labels, (L, 1)), jnp.tile(gt_valid, (L, 1)))
     cost = jax.lax.stop_gradient(cost)
-    n_valid = gt_valid.sum(axis=-1).astype(jnp.int32)
-    return hungarian_assign(cost, n_valid)
+    n_valid = jnp.tile(gt_valid.sum(axis=-1).astype(jnp.int32), L)
+    return hungarian_assign(cost, n_valid).reshape(L, B, Q)
 
 
 def loss_single_layer(
@@ -118,12 +148,14 @@ def loss_single_layer(
     loss_cls_weight: float = 2.0,
     loss_mask_weight: float = 5.0,
     loss_dice_weight: float = 5.0,
+    assign: Optional[jax.Array] = None,   # precomputed (B, Q) assignment
 ) -> Dict[str, jax.Array]:
     B, Q = cls_pred.shape[:2]
     r_assign, r_pts = jax.random.split(rng)
-    assign = _assign_layer(r_assign, cls_pred, mask_pred, label_map,
-                           gt_labels, gt_valid, num_points,
-                           loss_cls_weight, loss_mask_weight, loss_dice_weight)
+    if assign is None:
+        assign = _assign_layer(
+            r_assign, cls_pred, mask_pred, label_map, gt_labels, gt_valid,
+            num_points, loss_cls_weight, loss_mask_weight, loss_dice_weight)
     pos = assign >= 0  # (B, Q)
     safe_idx = jnp.maximum(assign, 0)
     labels = jnp.where(
@@ -213,10 +245,20 @@ def mask2former_loss(
     gt_labels, gt_valid = present_classes(label_map, num_classes, max_instances)
     total = 0.0
     logs = {}
-    rngs = jax.random.split(rng, len(cls_list))
+    rngs = jax.random.split(rng, len(cls_list) + 1)
+    # all layers' Hungarian assignments in ONE device pass (the auction is
+    # latency-bound; L sequential solves cost ~L x one batched solve)
+    assign_all = _assign_all_layers(
+        rngs[-1], jnp.stack(cls_list), jnp.stack(mask_list), label_map,
+        gt_labels, gt_valid,
+        num_points=kwargs.get("num_points", 12544),
+        cost_cls=kwargs.get("loss_cls_weight", 2.0),
+        cost_mask=kwargs.get("loss_mask_weight", 5.0),
+        cost_dice=kwargs.get("loss_dice_weight", 5.0))
     for i, (cls_p, mask_p) in enumerate(zip(cls_list, mask_list)):
         out = loss_single_layer(rngs[i], cls_p, mask_p, label_map,
-                                gt_labels, gt_valid, num_classes, **kwargs)
+                                gt_labels, gt_valid, num_classes,
+                                assign=assign_all[i], **kwargs)
         total = total + out["loss_cls"] + out["loss_mask"] + out["loss_dice"]
         if i == len(cls_list) - 1:
             logs.update(out)
