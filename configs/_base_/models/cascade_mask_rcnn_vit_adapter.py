@@ -6,6 +6,7 @@
 model = dict(
     type="CascadeRCNN",
     num_classes=80,
+    dtype="bfloat16",
     fpn_channels=256,
     num_stages=3,
     with_mask=True,
@@ -13,6 +14,7 @@ model = dict(
     use_extra_attention=False,
     backbone=dict(
         type="ViTAdapter",
+        dtype="bfloat16",
         patch_size=16,
         embed_dim=384,
         depth=12,

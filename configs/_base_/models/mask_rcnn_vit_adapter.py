@@ -5,9 +5,12 @@
 model = dict(
     type="MaskRCNN",
     num_classes=80,
+    # TPU counterpart of the reference fp16 recipe: bf16 compute
+    dtype="bfloat16",
     fpn_channels=256,
     backbone=dict(
         type="ViTAdapter",
+        dtype="bfloat16",
         patch_size=16,
         embed_dim=192,
         depth=12,

@@ -4,6 +4,9 @@ model = dict(
     type="EncoderDecoder",
     backbone=dict(
         type="ViTAdapter",
+        # TPU counterpart of the reference fp16 recipe (loss_scale 512):
+        # bf16 compute, fp32 master params/softmax/losses — no loss scaling
+        dtype="bfloat16",
         patch_size=16,
         embed_dim=192,
         depth=12,
@@ -20,6 +23,7 @@ model = dict(
     ),
     decode_head=dict(
         type="UPerHead",
+        dtype="bfloat16",
         num_classes=150,
         channels=512,
         pool_scales=[1, 2, 3, 6],
@@ -27,6 +31,7 @@ model = dict(
     ),
     auxiliary_head=dict(
         type="FCNHead",
+        dtype="bfloat16",
         num_classes=150,
         channels=256,
         num_convs=1,

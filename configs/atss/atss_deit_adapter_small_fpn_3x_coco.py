@@ -2,10 +2,11 @@
 model = dict(
     type="ATSS",
     num_classes=80,
+    dtype="bfloat16",
     fpn_channels=256,
     reg_max=0,
     backbone=dict(
-        type="ViTAdapter", patch_size=16, embed_dim=384, depth=12,
+        type="ViTAdapter", dtype="bfloat16", patch_size=16, embed_dim=384, depth=12,
         num_heads=6, drop_path_rate=0.2, layer_scale=False, conv_inplane=64,
         deform_num_heads=6, cffn_ratio=0.25, deform_ratio=1.0,
         interaction_indexes=[[0, 2], [3, 5], [6, 8], [9, 11]],

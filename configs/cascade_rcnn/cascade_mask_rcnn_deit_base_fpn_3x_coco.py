@@ -10,6 +10,7 @@ model = dict(
     backbone=dict(
         _delete_=True,
         type="ViTBaseline",
+        dtype="bfloat16",
         patch_size=16,
         embed_dim=768,
         depth=12,

@@ -8,7 +8,9 @@ _base_ = [
     "../_base_/default_runtime.py",
 ]
 model = dict(
+    dtype="float32",  # ref trains AugReg-L without fp16
     backbone=dict(
+        dtype="float32",
         img_size=384,
         pretrain_size=384,
         embed_dim=1024,

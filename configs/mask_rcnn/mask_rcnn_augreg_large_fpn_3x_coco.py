@@ -2,7 +2,9 @@
 # reference `mask_rcnn_augreg_large_fpn_3x_coco.py`.
 _base_ = ["./mask_rcnn_deit_tiny_fpn_3x_coco.py"]
 model = dict(
+    dtype="float32",  # ref trains AugReg-L without fp16
     backbone=dict(
+        dtype="float32",
         embed_dim=1024,
         depth=24,
         num_heads=16,

@@ -6,4 +6,5 @@ _base_ = [
     "../_base_/schedules/schedule_1x.py",
     "../_base_/default_runtime.py",
 ]
+model = dict(dtype="float32", backbone=dict(dtype="float32"))  # ref 1x has no fp16
 pretrained = "pretrained/deit_tiny_patch16_224-a1311bcf.pth"

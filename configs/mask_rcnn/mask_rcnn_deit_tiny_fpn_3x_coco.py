@@ -8,9 +8,11 @@ _base_ = [
 model = dict(
     type="MaskRCNN",
     num_classes=80,
+    dtype="bfloat16",
     fpn_channels=256,
     backbone=dict(
         type="ViTBaseline",
+        dtype="bfloat16",
         patch_size=16,
         embed_dim=192,
         depth=12,

@@ -11,6 +11,7 @@ model = dict(
     backbone=dict(
         _delete_=True,
         type="UniPerceiverAdapter",
+        dtype="bfloat16",
         patch_size=16,
         embed_dim=768,
         depth=12,
