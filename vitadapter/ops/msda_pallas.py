@@ -293,11 +293,14 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
     start = 0
     for lvl, (H, W) in enumerate(shapes):
         HW = H * W
+        # 16-row chunks: constant skip granularity across level sizes (the
+        # row-band of a query tile spans ~the same row count per level)
+        chunk_l = max(min(chunk, W * 16), 1)
         lo = bounds_ref[bm, ti, 2 * lvl]
         hi = bounds_ref[bm, ti, 2 * lvl + 1]
         c0 = 0
         while c0 < HW:
-            hwc = min(chunk, HW - c0)
+            hwc = min(chunk_l, HW - c0)
 
             @pl.when((lo < c0 + hwc) & (hi > c0))
             def _(c0=c0, hwc=hwc, lvl=lvl, W=W, start=start):
