@@ -117,7 +117,8 @@ def run_training(cfg, work_dir: str, resume: bool = False,
         depth=cfg.model["backbone"]["depth"],
         layer_decay_rate=opt.get("layer_decay_rate", 1.0),
         total_steps=total, warmup_steps=cfg.lr_config.get("warmup_iters", 1500),
-        grad_clip=opt.get("grad_clip"))
+        grad_clip=opt.get("grad_clip"),
+        lr_policy=cfg.lr_config.get("policy", "poly"))
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     state = replicate(mesh, state)
 

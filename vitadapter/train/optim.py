@@ -79,6 +79,27 @@ def poly_schedule_with_warmup(base_lr: float, total_steps: int,
     return schedule
 
 
+def cosine_schedule_with_warmup(base_lr: float, total_steps: int,
+                                warmup_steps: int = 0,
+                                final_lr: float = 0.0,
+                                start_warmup_lr: float = 0.0):
+    """Half-cosine decay with linear warmup (reference `cosine_scheduler`,
+    `segmentation/mmcv_custom/checkpoint.py:290-314`; epochs x niter_per_ep
+    folded into `total_steps`)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = start_warmup_lr + (base_lr - start_warmup_lr) * (
+            jnp.minimum(step, warmup_steps) / max(warmup_steps, 1))
+        t = jnp.clip((step - warmup_steps)
+                     / max(total_steps - warmup_steps, 1), 0.0, 1.0)
+        cos = final_lr + 0.5 * (base_lr - final_lr) * (1 + jnp.cos(
+            jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
 def make_optimizer(
     params,
     base_lr: float = 12e-5,
@@ -90,9 +111,16 @@ def make_optimizer(
     grad_clip: Optional[float] = None,
     b1: float = 0.9,
     b2: float = 0.999,
+    lr_policy: str = "poly",
 ):
-    """AdamW + layer decay + poly schedule (reference optimizer config)."""
-    schedule = poly_schedule_with_warmup(base_lr, total_steps, warmup_steps)
+    """AdamW + layer decay + poly/cosine schedule (reference optimizer
+    config; `lr_config.policy` selects the schedule)."""
+    if lr_policy == "cosine":
+        schedule = cosine_schedule_with_warmup(base_lr, total_steps,
+                                               warmup_steps)
+    else:
+        schedule = poly_schedule_with_warmup(base_lr, total_steps,
+                                             warmup_steps)
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
