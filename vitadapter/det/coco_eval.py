@@ -137,8 +137,10 @@ class COCOEvaluator:
             if self.iou_type == "segm":
                 iou = mask_iou(np.asarray(dets["masks"])[dc],
                                np.asarray(gts["masks"])[gc], g_crowd[gc])
-                g_area = np.asarray(gts["masks"])[gc].reshape(
+                # reshape(0, -1) is ambiguous for an empty selection
+                g_area = (np.asarray(gts["masks"])[gc].reshape(
                     len(gc), -1).sum(-1).astype(np.float64)
+                    if len(gc) else np.zeros(0, np.float64))
             else:
                 iou = box_iou(d_boxes[dc], g_boxes[gc], g_crowd[gc])
                 g_area = np.prod(np.clip(g_boxes[gc, 2:] - g_boxes[gc, :2],
