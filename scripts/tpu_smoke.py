@@ -42,6 +42,8 @@ CASES = [
     ("pixdec-512", ((64, 64), (32, 32), (16, 16)), 2, 5376, 8, 32, 4),
     # odd sizes (non-divisible W*D chunking, small HW one-hot path)
     ("odd", ((13, 17), (7, 9)), 1, 300, 2, 32, 3),
+    # DINO / grounding 4-scale encoder geometry (ChannelMapper pyramid)
+    ("dino-4lvl", ((64, 64), (32, 32), (16, 16), (8, 8)), 2, 5440, 8, 32, 4),
 ]
 
 
