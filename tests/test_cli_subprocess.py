@@ -15,7 +15,10 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=900):
+def _run(args, timeout=2400):
+    # generous: each subprocess pays the full torch+jax import and 8-device
+    # XLA compile from a cold cache, and may share the host with the rest
+    # of the suite
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
