@@ -1,0 +1,607 @@
+"""Pure-torch mini-reference of the ViT-Adapter / BEiT-Adapter backbones.
+
+Used by tests/test_torch_parity.py as the full-model numerical oracle: a
+random torch ``state_dict`` from these modules is converted with
+`vitadapter.utils.checkpoint` and the fp32 activations of the flax models are
+asserted against this implementation.
+
+This is an independent implementation of the reference math contract
+(reference `detection/mmdet_custom/models/backbones/vit_adapter.py:90-132`,
+`adapter_modules.py`, `base/vit.py`, seg `base/beit.py`,
+`ops/functions/ms_deform_attn_func.py:49-71`), written against the behavior
+documented in /root/repo/SURVEY.md — deliberately using torch-native ops
+(F.grid_sample, F.interpolate, F.unfold/F.fold) so that every flax/Pallas
+formulation in the package is checked against a genuinely different code path.
+
+State-dict key names follow the reference module naming, which is the scheme
+`vitadapter.utils.checkpoint.convert_vit_adapter_backbone` /
+`convert_beit_backbone` consume.
+"""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# MSDA (grid_sample formulation — the reference's own CUDA-parity oracle)
+# ---------------------------------------------------------------------------
+
+def msda_core_torch(value, spatial_shapes, sampling_locations,
+                    attention_weights):
+    """value (B,S,M,D); loc (B,Lq,M,L,P,2) in [0,1]; weights (B,Lq,M,L,P)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    out = 0.0
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start:start + H * W]                      # (B, HW, M, D)
+        v = v.permute(0, 2, 3, 1).reshape(B * M, D, H, W)
+        g = 2.0 * sampling_locations[:, :, :, lvl] - 1.0        # (B,Lq,M,P,2)
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * M, Lq, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)                  # (B*M,D,Lq,P)
+        w = attention_weights[:, :, :, lvl].permute(0, 2, 1, 3)
+        w = w.reshape(B * M, 1, Lq, P)
+        out = out + (s * w).sum(-1)                             # (B*M, D, Lq)
+        start += H * W
+    out = out.reshape(B, M, D, Lq).permute(0, 3, 1, 2)
+    return out.reshape(B, Lq, M * D)
+
+
+class MSDeformAttnT(nn.Module):
+    def __init__(self, d_model, n_levels, n_heads, n_points, ratio=1.0):
+        super().__init__()
+        self.n_levels, self.n_heads, self.n_points = n_levels, n_heads, n_points
+        d_value = int(d_model * ratio)
+        self.sampling_offsets = nn.Linear(d_model, n_heads * n_levels * n_points * 2)
+        self.attention_weights = nn.Linear(d_model, n_heads * n_levels * n_points)
+        self.value_proj = nn.Linear(d_model, d_value)
+        self.output_proj = nn.Linear(d_value, d_model)
+
+    def forward(self, query, reference_points, feat, spatial_shapes):
+        B, Lq, _ = query.shape
+        S = feat.shape[1]
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        value = self.value_proj(feat).view(B, S, M, -1)
+        off = self.sampling_offsets(query).view(B, Lq, M, L, P, 2)
+        w = self.attention_weights(query).view(B, Lq, M, L * P)
+        w = F.softmax(w, -1).view(B, Lq, M, L, P)
+        normalizer = torch.tensor([[wd, ht] for ht, wd in spatial_shapes],
+                                  dtype=torch.float32)
+        loc = (reference_points[:, :, None, :, None, :]
+               + off / normalizer[None, None, None, :, None, :])
+        return self.output_proj(msda_core_torch(value, spatial_shapes, loc, w))
+
+
+# ---------------------------------------------------------------------------
+# Adapter modules
+# ---------------------------------------------------------------------------
+
+def reference_points_torch(spatial_shapes):
+    pts = []
+    for H, W in spatial_shapes:
+        ys = (torch.arange(H, dtype=torch.float32) + 0.5) / H
+        xs = (torch.arange(W, dtype=torch.float32) + 0.5) / W
+        yy, xx = torch.meshgrid(ys, xs, indexing="ij")
+        pts.append(torch.stack([xx.reshape(-1), yy.reshape(-1)], -1))
+    return torch.cat(pts, 0)[None, :, None, :]
+
+
+class DWConvT(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        n = N // 21
+        parts = [(x[:, :16 * n], 2 * H, 2 * W),
+                 (x[:, 16 * n:20 * n], H, W),
+                 (x[:, 20 * n:], H // 2, W // 2)]
+        outs = []
+        for t, h, w in parts:
+            m = t.transpose(1, 2).reshape(B, C, h, w)
+            m = self.dwconv(m)
+            outs.append(m.reshape(B, C, h * w).transpose(1, 2))
+        return torch.cat(outs, 1)
+
+
+class ConvFFNT(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.dwconv = DWConvT(hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x, H, W):
+        x = self.fc1(x)
+        x = self.dwconv(x, H, W)
+        x = F.gelu(x)
+        return self.fc2(x)
+
+
+class InjectorT(nn.Module):
+    def __init__(self, dim, num_heads, n_points, deform_ratio):
+        super().__init__()
+        self.query_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.feat_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = MSDeformAttnT(dim, 3, num_heads, n_points, deform_ratio)
+        self.gamma = nn.Parameter(torch.zeros(dim))
+
+    def forward(self, query, ref, feat, shapes):
+        attn = self.attn(self.query_norm(query), ref, self.feat_norm(feat),
+                         shapes)
+        return query + self.gamma * attn
+
+
+class ExtractorT(nn.Module):
+    def __init__(self, dim, num_heads, n_points, deform_ratio, with_cffn,
+                 cffn_ratio):
+        super().__init__()
+        self.query_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.feat_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = MSDeformAttnT(dim, 1, num_heads, n_points, deform_ratio)
+        self.with_cffn = with_cffn
+        if with_cffn:
+            self.ffn_norm = nn.LayerNorm(dim, eps=1e-6)
+            self.ffn = ConvFFNT(dim, int(dim * cffn_ratio))
+
+    def forward(self, query, ref, feat, shapes, H, W):
+        attn = self.attn(self.query_norm(query), ref, self.feat_norm(feat),
+                         shapes)
+        query = query + attn
+        if self.with_cffn:
+            query = query + self.ffn(self.ffn_norm(query), H, W)
+        return query
+
+
+class InteractionBlockT(nn.Module):
+    def __init__(self, dim, num_heads, n_points, deform_ratio, with_cffn,
+                 cffn_ratio, extra_extractor):
+        super().__init__()
+        self.injector = InjectorT(dim, num_heads, n_points, deform_ratio)
+        self.extractor = ExtractorT(dim, num_heads, n_points, deform_ratio,
+                                    with_cffn, cffn_ratio)
+        if extra_extractor:
+            self.extra_extractors = nn.ModuleList([
+                ExtractorT(dim, num_heads, n_points, deform_ratio, with_cffn,
+                           cffn_ratio) for _ in range(2)])
+        else:
+            self.extra_extractors = None
+
+    def forward(self, x, c, blocks_fn, inj_in, ext_in, H, W):
+        ref1, shapes1 = inj_in
+        ref2, shapes2 = ext_in
+        x = self.injector(x, ref1, c, shapes1)
+        x = blocks_fn(x)
+        c = self.extractor(c, ref2, x, shapes2, H, W)
+        if self.extra_extractors is not None:
+            for ex in self.extra_extractors:
+                c = ex(c, ref2, x, shapes2, H, W)
+        return x, c
+
+
+class SpatialPriorModuleT(nn.Module):
+    def __init__(self, inplanes, embed_dim):
+        super().__init__()
+        def cbr(cin, cout, stride):
+            return [nn.Conv2d(cin, cout, 3, stride, 1, bias=False),
+                    nn.BatchNorm2d(cout), nn.ReLU(inplace=True)]
+        self.stem = nn.Sequential(*cbr(3, inplanes, 2), *cbr(inplanes, inplanes, 1),
+                                  *cbr(inplanes, inplanes, 1),
+                                  nn.MaxPool2d(3, 2, 1))
+        self.conv2 = nn.Sequential(*cbr(inplanes, 2 * inplanes, 2))
+        self.conv3 = nn.Sequential(*cbr(2 * inplanes, 4 * inplanes, 2))
+        self.conv4 = nn.Sequential(*cbr(4 * inplanes, 4 * inplanes, 2))
+        self.fc1 = nn.Conv2d(inplanes, embed_dim, 1)
+        self.fc2 = nn.Conv2d(2 * inplanes, embed_dim, 1)
+        self.fc3 = nn.Conv2d(4 * inplanes, embed_dim, 1)
+        self.fc4 = nn.Conv2d(4 * inplanes, embed_dim, 1)
+
+    def forward(self, x):
+        c1 = self.stem(x)
+        c2 = self.conv2(c1)
+        c3 = self.conv3(c2)
+        c4 = self.conv4(c3)
+        c1 = self.fc1(c1)
+        c2 = self.fc2(c2)
+        c3 = self.fc3(c3)
+        c4 = self.fc4(c4)
+        B, D = c2.shape[0], c2.shape[1]
+        c2 = c2.reshape(B, D, -1).transpose(1, 2)
+        c3 = c3.reshape(B, D, -1).transpose(1, 2)
+        c4 = c4.reshape(B, D, -1).transpose(1, 2)
+        return c1, c2, c3, c4
+
+
+# ---------------------------------------------------------------------------
+# Plain ViT trunk
+# ---------------------------------------------------------------------------
+
+class MlpT(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class AttentionT(nn.Module):
+    def __init__(self, dim, num_heads, qkv_bias):
+        super().__init__()
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        h = self.num_heads
+        qkv = self.qkv(x).reshape(B, N, 3, h, C // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class WindowedAttentionT(nn.Module):
+    """unfold/fold windowed MHSA (the reference det formulation: qkv computed
+    on the unpadded tokens first, zero-padded to a window multiple, softmax
+    over the full window including padded keys)."""
+
+    def __init__(self, dim, num_heads, qkv_bias, window_size):
+        super().__init__()
+        self.num_heads = num_heads
+        self.ws = window_size
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        ws, h = self.ws, self.num_heads
+        H_ = math.ceil(H / ws) * ws
+        W_ = math.ceil(W / ws) * ws
+        qkv = self.qkv(x)                                   # (B, N, 3C)
+        qkv = qkv.transpose(1, 2).reshape(B, 3 * C, H, W)
+        qkv = F.pad(qkv, (0, W_ - W, 0, H_ - H))
+        qkv = F.unfold(qkv, ws, stride=ws)                  # (B, 3C*ws*ws, L)
+        L = qkv.shape[-1]
+        qkv = qkv.reshape(B, 3, h, C // h, ws * ws, L)
+        qkv = qkv.permute(1, 0, 5, 2, 4, 3)                 # (3, B, L, h, n, d)
+        q, k, v = qkv.unbind(0)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(-1)
+        out = attn @ v                                      # (B, L, h, n, d)
+        out = out.permute(0, 2, 4, 3, 1).reshape(B, C * ws * ws, L)
+        out = F.fold(out, (H_, W_), ws, stride=ws)          # (B, C, H_, W_)
+        out = out[:, :, :H, :W].reshape(B, C, N).transpose(1, 2)
+        return self.proj(out)
+
+
+class LayerNorm2dT(nn.Module):
+    """Channel-first LayerNorm over NCHW maps."""
+
+    def __init__(self, dim, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.bias = nn.Parameter(torch.zeros(dim))
+        self.eps = eps
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + self.eps)
+        return x * self.weight[:, None, None] + self.bias[:, None, None]
+
+
+class ResBottleneckBlockT(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        mid = dim // 2
+        self.conv1 = nn.Conv2d(dim, mid, 1, bias=False)
+        self.norm1 = LayerNorm2dT(mid)
+        self.conv2 = nn.Conv2d(mid, mid, 3, 1, 1, bias=False)
+        self.norm2 = LayerNorm2dT(mid)
+        self.conv3 = nn.Conv2d(mid, dim, 1, bias=False)
+        self.norm3 = LayerNorm2dT(dim)
+
+    def forward(self, x):
+        out = F.gelu(self.norm1(self.conv1(x)))
+        out = F.gelu(self.norm2(self.conv2(out)))
+        out = self.norm3(self.conv3(out))
+        return x + out
+
+
+class BlockT(nn.Module):
+    def __init__(self, dim, num_heads, mlp_ratio, qkv_bias, layer_scale,
+                 windowed, window_size, use_residual):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        if windowed:
+            self.attn = WindowedAttentionT(dim, num_heads, qkv_bias, window_size)
+        else:
+            self.attn = AttentionT(dim, num_heads, qkv_bias)
+        self.mlp = MlpT(dim, int(dim * mlp_ratio))
+        self.layer_scale = layer_scale
+        if layer_scale:
+            self.gamma1 = nn.Parameter(torch.ones(dim))
+            self.gamma2 = nn.Parameter(torch.ones(dim))
+        self.residual = ResBottleneckBlockT(dim) if use_residual else None
+
+    def forward(self, x, H, W):
+        a = self.attn(self.norm1(x), H, W)
+        x = x + (self.gamma1 * a if self.layer_scale else a)
+        m = self.mlp(self.norm2(x))
+        x = x + (self.gamma2 * m if self.layer_scale else m)
+        if self.residual is not None:
+            B, N, C = x.shape
+            xm = x.transpose(1, 2).reshape(B, C, H, W)
+            xm = self.residual(xm)
+            x = xm.reshape(B, C, N).transpose(1, 2)
+        return x
+
+
+class ViTAdapterT(nn.Module):
+    """Full ViT-Adapter backbone mini-reference (strides 4/8/16/32 pyramid)."""
+
+    def __init__(self, embed_dim=48, depth=4, num_heads=4, mlp_ratio=4.0,
+                 qkv_bias=True, layer_scale=True, patch_size=16,
+                 pretrain_size=224, conv_inplane=16, deform_num_heads=6,
+                 n_points=4, deform_ratio=1.0, cffn_ratio=0.25,
+                 interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)),
+                 window_attn=False, window_size=14, residual_indices=(),
+                 add_vit_feature=True):
+        super().__init__()
+        self.patch_size = patch_size
+        self.pretrain_size = pretrain_size
+        self.interaction_indexes = interaction_indexes
+        self.add_vit_feature = add_vit_feature
+        grid = pretrain_size // patch_size
+        self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, embed_dim))
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, embed_dim, patch_size, patch_size)
+        wa = window_attn if isinstance(window_attn, (list, tuple)) \
+            else [window_attn] * depth
+        wsz = window_size if isinstance(window_size, (list, tuple)) \
+            else [window_size] * depth
+        self.blocks = nn.ModuleList([
+            BlockT(embed_dim, num_heads, mlp_ratio, qkv_bias, layer_scale,
+                   bool(wa[i]), int(wsz[i] or 14), i in residual_indices)
+            for i in range(depth)])
+        self.level_embed = nn.Parameter(torch.zeros(3, embed_dim))
+        self.spm = SpatialPriorModuleT(conv_inplane, embed_dim)
+        n_inter = len(interaction_indexes)
+        self.interactions = nn.ModuleList([
+            InteractionBlockT(embed_dim, deform_num_heads, n_points,
+                              deform_ratio, True, cffn_ratio,
+                              extra_extractor=(i == n_inter - 1))
+            for i in range(n_inter)])
+        self.up = nn.ConvTranspose2d(embed_dim, embed_dim, 2, 2)
+        self.norm1 = nn.BatchNorm2d(embed_dim)
+        self.norm2 = nn.BatchNorm2d(embed_dim)
+        self.norm3 = nn.BatchNorm2d(embed_dim)
+        self.norm4 = nn.BatchNorm2d(embed_dim)
+
+    def _pos_embed(self, H, W):
+        grid = self.pretrain_size // self.patch_size
+        pe = self.pos_embed[:, 1:]
+        D = pe.shape[-1]
+        pe = pe.reshape(1, grid, grid, D).permute(0, 3, 1, 2)
+        pe = F.interpolate(pe, size=(H, W), mode="bicubic",
+                           align_corners=False)
+        return pe.reshape(1, D, H * W).transpose(1, 2)
+
+    def forward(self, x):
+        """x: (B, 3, H, W) NCHW. Returns 4 NCHW maps."""
+        B = x.shape[0]
+        h_img, w_img = x.shape[2], x.shape[3]
+        shapes3 = ((h_img // 8, w_img // 8), (h_img // 16, w_img // 16),
+                   (h_img // 32, w_img // 32))
+        shapes1 = (shapes3[1],)
+        inj_in = (reference_points_torch(shapes1), shapes3)
+        ext_in = (reference_points_torch(shapes3), shapes1)
+
+        c1, c2, c3, c4 = self.spm(x)
+        c2 = c2 + self.level_embed[0]
+        c3 = c3 + self.level_embed[1]
+        c4 = c4 + self.level_embed[2]
+        c = torch.cat([c2, c3, c4], 1)
+        n2, n3 = c2.shape[1], c3.shape[1]
+
+        t = self.patch_embed.proj(x)
+        H, W = t.shape[2], t.shape[3]
+        D = t.shape[1]
+        t = t.reshape(B, D, H * W).transpose(1, 2)
+        t = t + self._pos_embed(H, W)
+
+        for i, layer in enumerate(self.interactions):
+            a, b = self.interaction_indexes[i]
+
+            def blocks_fn(tokens, _a=a, _b=b):
+                for blk in self.blocks[_a:_b + 1]:
+                    tokens = blk(tokens, H, W)
+                return tokens
+
+            t, c = layer(t, c, blocks_fn, inj_in, ext_in, H, W)
+
+        c2 = c[:, :n2].transpose(1, 2).reshape(B, D, H * 2, W * 2)
+        c3 = c[:, n2:n2 + n3].transpose(1, 2).reshape(B, D, H, W)
+        c4 = c[:, n2 + n3:].transpose(1, 2).reshape(B, D, H // 2, W // 2)
+        c1 = self.up(c2) + c1
+
+        if self.add_vit_feature:
+            x3 = t.transpose(1, 2).reshape(B, D, H, W)
+            up = lambda m, s: F.interpolate(m, scale_factor=s, mode="bilinear",
+                                            align_corners=False)
+            c1 = c1 + up(x3, 4)
+            c2 = c2 + up(x3, 2)
+            c3 = c3 + x3
+            c4 = c4 + up(x3, 0.5)
+
+        return [self.norm1(c1), self.norm2(c2), self.norm3(c3), self.norm4(c4)]
+
+
+# ---------------------------------------------------------------------------
+# BEiT trunk + adapter (seg variant: cls token, per-block rel-pos tables)
+# ---------------------------------------------------------------------------
+
+def rel_pos_index_torch(g):
+    """(g*g+1, g*g+1) bucket ids into a ((2g-1)^2 + 3, ...) table."""
+    coords = torch.stack(torch.meshgrid(torch.arange(g), torch.arange(g),
+                                        indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += g - 1
+    rel[:, :, 1] += g - 1
+    rel[:, :, 0] *= 2 * g - 1
+    idx = rel.sum(-1)
+    n = (2 * g - 1) ** 2 + 3
+    out = torch.zeros(idx.shape[0] + 1, idx.shape[1] + 1, dtype=torch.long)
+    out[1:, 1:] = idx
+    out[0, :] = n - 3
+    out[:, 0] = n - 2
+    out[0, 0] = n - 1
+    return out
+
+
+class BEiTAttentionT(nn.Module):
+    def __init__(self, dim, num_heads, grid):
+        super().__init__()
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=False)
+        self.q_bias = nn.Parameter(torch.zeros(dim))
+        self.v_bias = nn.Parameter(torch.zeros(dim))
+        self.proj = nn.Linear(dim, dim)
+        n = (2 * grid - 1) ** 2 + 3
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros(n, num_heads))
+        self.register_buffer("relative_position_index",
+                             rel_pos_index_torch(grid), persistent=False)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h = self.num_heads
+        bias = torch.cat([self.q_bias, torch.zeros_like(self.q_bias),
+                          self.v_bias])
+        qkv = F.linear(x, self.qkv.weight, bias)
+        qkv = qkv.reshape(B, N, 3, h, C // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        idx = self.relative_position_index
+        rel = self.relative_position_bias_table[idx.reshape(-1)]
+        rel = rel.reshape(idx.shape[0], idx.shape[1], h).permute(2, 0, 1)
+        attn = attn + rel[None]
+        attn = attn.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class BEiTBlockT(nn.Module):
+    def __init__(self, dim, num_heads, mlp_ratio, init_values, grid):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = BEiTAttentionT(dim, num_heads, grid)
+        self.mlp = MlpT(dim, int(dim * mlp_ratio))
+        self.gamma_1 = nn.Parameter(init_values * torch.ones(dim))
+        self.gamma_2 = nn.Parameter(init_values * torch.ones(dim))
+
+    def forward(self, x):
+        x = x + self.gamma_1 * self.attn(self.norm1(x))
+        x = x + self.gamma_2 * self.mlp(self.norm2(x))
+        return x
+
+
+class BEiTAdapterT(nn.Module):
+    """BEiT-Adapter mini-reference (seg variant: cls token rides the trunk,
+    per-interaction maps feed add_vit_feature)."""
+
+    def __init__(self, img_size=64, patch_size=16, embed_dim=48, depth=4,
+                 num_heads=4, mlp_ratio=4.0, init_values=0.1,
+                 conv_inplane=16, deform_num_heads=6, n_points=4,
+                 deform_ratio=0.5, cffn_ratio=0.25,
+                 interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3))):
+        super().__init__()
+        self.interaction_indexes = interaction_indexes
+        grid = img_size // patch_size
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, embed_dim, patch_size, patch_size)
+        self.blocks = nn.ModuleList([
+            BEiTBlockT(embed_dim, num_heads, mlp_ratio, init_values, grid)
+            for _ in range(depth)])
+        self.level_embed = nn.Parameter(torch.zeros(3, embed_dim))
+        self.spm = SpatialPriorModuleT(conv_inplane, embed_dim)
+        n_inter = len(interaction_indexes)
+        self.interactions = nn.ModuleList([
+            InteractionBlockT(embed_dim, deform_num_heads, n_points,
+                              deform_ratio, True, cffn_ratio,
+                              extra_extractor=(i == n_inter - 1))
+            for i in range(n_inter)])
+        self.up = nn.ConvTranspose2d(embed_dim, embed_dim, 2, 2)
+        self.norm1 = nn.BatchNorm2d(embed_dim)
+        self.norm2 = nn.BatchNorm2d(embed_dim)
+        self.norm3 = nn.BatchNorm2d(embed_dim)
+        self.norm4 = nn.BatchNorm2d(embed_dim)
+
+    def forward(self, x):
+        B = x.shape[0]
+        h_img, w_img = x.shape[2], x.shape[3]
+        shapes3 = ((h_img // 8, w_img // 8), (h_img // 16, w_img // 16),
+                   (h_img // 32, w_img // 32))
+        shapes1 = (shapes3[1],)
+        inj_in = (reference_points_torch(shapes1), shapes3)
+        ext_in = (reference_points_torch(shapes3), shapes1)
+
+        c1, c2, c3, c4 = self.spm(x)
+        c2 = c2 + self.level_embed[0]
+        c3 = c3 + self.level_embed[1]
+        c4 = c4 + self.level_embed[2]
+        c = torch.cat([c2, c3, c4], 1)
+        n2, n3 = c2.shape[1], c3.shape[1]
+
+        t = self.patch_embed.proj(x)
+        H, W = t.shape[2], t.shape[3]
+        D = t.shape[1]
+        t = t.reshape(B, D, H * W).transpose(1, 2)
+        cls = self.cls_token.expand(B, -1, -1)
+
+        outs = []
+        for i, layer in enumerate(self.interactions):
+            a, b = self.interaction_indexes[i]
+
+            def blocks_fn(tokens, _a=a, _b=b):
+                nonlocal cls
+                tokens = torch.cat([cls, tokens], 1)
+                for blk in self.blocks[_a:_b + 1]:
+                    tokens = blk(tokens)
+                cls = tokens[:, :1]
+                return tokens[:, 1:]
+
+            t, c = layer(t, c, blocks_fn, inj_in, ext_in, H, W)
+            outs.append(t.transpose(1, 2).reshape(B, D, H, W))
+
+        c2 = c[:, :n2].transpose(1, 2).reshape(B, D, H * 2, W * 2)
+        c3 = c[:, n2:n2 + n3].transpose(1, 2).reshape(B, D, H, W)
+        c4 = c[:, n2 + n3:].transpose(1, 2).reshape(B, D, H // 2, W // 2)
+        c1 = self.up(c2) + c1
+
+        x1, x2, x3, x4 = outs
+        up = lambda m, s: F.interpolate(m, scale_factor=s, mode="bilinear",
+                                        align_corners=False)
+        c1 = c1 + up(x1, 4)
+        c2 = c2 + up(x2, 2)
+        c3 = c3 + x3
+        c4 = c4 + up(x4, 0.5)
+
+        return [self.norm1(c1), self.norm2(c2), self.norm3(c3), self.norm4(c4)]
