@@ -4,5 +4,5 @@
 _base_ = ["./htc++_beitv2_adapter_large_fpn_o365_coco.py"]
 tta = dict(scales=[[400, 1600], [600, 1600], [800, 1600], [1000, 1600],
                    [1200, 1600], [1400, 1600]],
-           scale_ranges=[[96, 10000], [96, 10000], [64, 10000], [64, 10000],
-                         [0, 10000], [0, 256]])
+           scale_ranges=[['l'], ['l'], ['m', 'l'],
+                         ['s', 'm'], ['s', 'm'], ['s', 'm']])

@@ -11,15 +11,28 @@ import argparse
 import os
 
 
+KNOWN_METRICS = ("mIoU", "bbox", "segm", "PQ", "IoU")
+
+
 def parse_args():
     p = argparse.ArgumentParser(description="Test a model")
     p.add_argument("config")
     p.add_argument("checkpoint")
     p.add_argument("--eval", nargs="+", default=["mIoU"])
-    p.add_argument("--aug-test", action="store_true", help="flip TTA")
+    p.add_argument("--aug-test", action="store_true",
+                   help="multi-scale + flip TTA")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--cfg-options", nargs="+", default=None)
-    return p.parse_args()
+    args = p.parse_args()
+    # fail loudly on anything that would otherwise be silently ignored
+    # (reference `detection/test.py:219-243` always honors its flags)
+    unknown = [m for m in args.eval if m not in KNOWN_METRICS]
+    if unknown:
+        p.error(f"unknown --eval metric(s) {unknown}; "
+                f"choose from {list(KNOWN_METRICS)}")
+    if args.aug_test and "PQ" in args.eval:
+        p.error("--aug-test is not supported for --eval PQ")
+    return args
 
 
 def load_variables(path: str, cfg):
@@ -92,8 +105,10 @@ def main():
         dataset = build_det_dataset(cfg.data, "val")
         iou_types = tuple(t for t in ("bbox", "segm") if t in args.eval) \
             or ("bbox",)
+        # multi-scale TTA (reference HTC-Aug protocol) needs the config's
+        # `tta` dict; run_det_eval raises if --aug-test lacks one
         run_det_eval(cfg, variables, dataset, iou_types=iou_types,
-                     max_images=args.max_images)
+                     aug_test=args.aug_test, max_images=args.max_images)
     else:
         dataset = build_dataset(cfg.data, "val")
         run_eval(cfg, variables, dataset, aug_test=args.aug_test,

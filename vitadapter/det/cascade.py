@@ -294,12 +294,42 @@ class CascadeRCNN(nn.Module):
 
 # ----------------------------------------------------------------- TTA utils
 
-def remove_boxes_by_scale(boxes: np.ndarray, scale_range: Tuple[float, float]
-                          ) -> np.ndarray:
-    """Keep boxes whose sqrt-area lies in [lo, hi) (reference
-    `htc_aug.py:43-65` per-scale gating)."""
-    s = np.sqrt(np.clip((boxes[:, 2] - boxes[:, 0])
-                        * (boxes[:, 3] - boxes[:, 1]), 0, None))
+# Named area bands of the reference per-scale gate (`htc_aug.py:43-65`):
+# box AREAS in the original image frame, boundaries at 32^2 / 64^2 / 96^2 /
+# 512^2 pixels^2. A band list like ['s', 'm'] keeps the union of bands.
+_AREA_BANDS = {
+    "s": (-1.0, 32.0 ** 2),
+    "m": (32.0 ** 2, 96.0 ** 2),
+    "m-": (32.0 ** 2, 64.0 ** 2),
+    "m+": (64.0 ** 2, 96.0 ** 2),
+    "l": (96.0 ** 2, float("inf")),
+    "l-": (96.0 ** 2, 512.0 ** 2),
+    "l+": (512.0 ** 2, float("inf")),
+}
+
+# bands whose upper bound is exclusive in the reference rule
+# (`htc_aug.py:59`: 'l-' keeps areas < 512^2, not <=)
+_STRICT_HI = {"l-"}
+
+
+def remove_boxes_by_scale(boxes: np.ndarray, scale_range) -> np.ndarray:
+    """Per-scale TTA box gate (reference `htc_aug.py:43-65`).
+
+    `scale_range` is either the reference's named band list (e.g.
+    ``['s', 'm']`` — keep boxes whose AREA falls in any named band, with the
+    reference's (0,1e24]/32^2/96^2/... boundaries) or a numeric
+    ``[lo, hi)`` range on sqrt-area.
+    """
+    area = np.clip((boxes[:, 2] - boxes[:, 0])
+                   * (boxes[:, 3] - boxes[:, 1]), 0, None)
+    if len(scale_range) and isinstance(scale_range[0], str):
+        keep = np.zeros(len(boxes), bool)
+        for band in scale_range:
+            lo, hi = _AREA_BANDS[band]
+            up = (area < hi) if band in _STRICT_HI else (area <= hi)
+            keep |= (area > lo) & up
+        return keep
+    s = np.sqrt(area)
     return (s >= scale_range[0]) & (s < scale_range[1])
 
 
@@ -340,12 +370,23 @@ def soft_nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float = 0.5,
 
 
 def merge_aug_detections(per_aug: List[Dict[str, np.ndarray]],
-                         scale_ranges: Optional[List[Tuple[float, float]]]
-                         = None, iou_thr: float = 0.5,
+                         scale_ranges: Optional[List] = None,
+                         iou_thr: float = 0.5,
                          max_dets: int = 100) -> Dict[str, np.ndarray]:
     """Merge multi-scale+flip detections (already mapped back to the original
-    image frame) with per-scale size gating + soft-NMS per class."""
-    all_b, all_s, all_l = [], [], []
+    image frame) with per-scale size gating + soft-NMS per class
+    (reference `htc_aug.py:203-241`: gate each aug via `remove_boxes`, concat,
+    multiclass soft-NMS capped at `max_per_img`).
+
+    If the per-aug dicts carry ``masks`` (box-frame mask crops, which are
+    scale-independent), each surviving detection keeps the crop from the aug
+    that produced it. (The reference instead re-runs the mask head on the
+    merged boxes under every aug and averages — that requires a
+    box-conditioned head forward; the surviving-source crop is the
+    single-pass approximation.)
+    """
+    with_masks = all("masks" in r for r in per_aug) and len(per_aug) > 0
+    all_b, all_s, all_l, all_m = [], [], [], []
     for k, r in enumerate(per_aug):
         b = np.asarray(r["boxes"])
         s = np.asarray(r["scores"])
@@ -356,19 +397,29 @@ def merge_aug_detections(per_aug: List[Dict[str, np.ndarray]],
         all_b.append(b[ok])
         all_s.append(s[ok])
         all_l.append(l[ok])
+        if with_masks:
+            all_m.append(np.asarray(r["masks"])[ok])
     boxes = np.concatenate(all_b)
     scores = np.concatenate(all_s)
     labels = np.concatenate(all_l)
-    out_b, out_s, out_l = [], [], []
+    masks = np.concatenate(all_m) if with_masks else None
+    out_b, out_s, out_l, out_m = [], [], [], []
     for c in np.unique(labels):
         m = labels == c
         keep, new_s = soft_nms(boxes[m], scores[m], iou_thr)
         out_b.append(boxes[m][keep])
         out_s.append(new_s)
         out_l.append(np.full(len(keep), c, labels.dtype))
+        if with_masks:
+            out_m.append(masks[m][keep])
     boxes = np.concatenate(out_b) if out_b else np.zeros((0, 4))
     scores = np.concatenate(out_s) if out_s else np.zeros((0,))
     labels = np.concatenate(out_l) if out_l else np.zeros((0,), np.int64)
     order = np.argsort(-scores)[:max_dets]
-    return {"boxes": boxes[order], "scores": scores[order],
-            "labels": labels[order]}
+    out = {"boxes": boxes[order], "scores": scores[order],
+           "labels": labels[order]}
+    if with_masks:
+        masks = (np.concatenate(out_m) if out_m
+                 else np.zeros((0, 28, 28), np.float32))
+        out["masks"] = masks[order]
+    return out

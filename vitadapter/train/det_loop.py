@@ -268,37 +268,125 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
     return state
 
 
+def test_canvas(scale, size_divisor: int = 32):
+    """Static pad canvases for a keep-ratio test scale: (landscape, portrait).
+
+    The reference test pipeline resizes keep-ratio to ``img_scale``
+    (e.g. (1333, 800) — `detection/configs/_base_/datasets/
+    coco_instance.py:10,20`) then pads to a multiple of 32; with a fixed
+    scale the padded shape collapses to exactly two compiled canvases, one
+    per orientation.
+    """
+    ml, ms = max(scale), min(scale)
+    div = size_divisor
+    long_p = -(-ml // div) * div
+    short_p = -(-ms // div) * div
+    return (short_p, long_p), (long_p, short_p)
+
+
+def _infer_one_aug(infer, img, scale, flip: bool):
+    """Keep-ratio resize + optional hflip + pad to the static canvas; run the
+    model; return detections mapped back to the ORIGINAL image frame
+    (reference `bbox_mapping_back`: unflip in the aug frame, then unscale)."""
+    h0, w0 = img.shape[:2]
+    im2, _ = T.resize_keep_ratio(img, None, scale)
+    rh, rw = im2.shape[:2]
+    if flip:
+        im2 = im2[:, ::-1]
+    land, port = test_canvas(scale)
+    ch, cw = land if rw >= rh else port
+    x = np.zeros((ch, cw, 3), np.float32)
+    x[:rh, :rw] = im2
+    out = infer(jnp.asarray(x)[None])
+    dets = {k: np.asarray(v[0]) for k, v in out.items()}
+    boxes = dets["boxes"].astype(np.float32)
+    if flip:
+        boxes = np.stack([rw - boxes[:, 2], boxes[:, 1],
+                          rw - boxes[:, 0], boxes[:, 3]], -1)
+        if "masks" in dets:
+            dets["masks"] = dets["masks"][:, :, ::-1]
+    boxes = boxes * np.asarray([w0 / rw, h0 / rh, w0 / rw, h0 / rh],
+                               np.float32)
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, w0)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, h0)
+    dets["boxes"] = boxes
+    return dets
+
+
+def paste_mask_crops(dets: Dict[str, np.ndarray], H: int, W: int) -> np.ndarray:
+    """Paste per-detection box-frame mask crops into full-size binary masks."""
+    from PIL import Image
+    full = np.zeros((len(dets["boxes"]), H, W), bool)
+    for d, (box, m) in enumerate(zip(dets["boxes"], dets["masks"])):
+        x1, y1, x2, y2 = [int(round(float(v))) for v in box]
+        x2, y2 = min(max(x2, x1 + 1), W), min(max(y2, y1 + 1), H)
+        x1, y1 = max(x1, 0), max(y1, 0)
+        if x2 <= x1 or y2 <= y1:
+            continue
+        mm = np.asarray(Image.fromarray(
+            (m * 255).astype(np.uint8)).resize((x2 - x1, y2 - y1))) > 127
+        full[d, y1:y2, x1:x2] = mm
+    return full
+
+
 def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
-                 max_images: Optional[int] = None, log_fn=print):
-    """Per-image inference -> COCO-protocol metrics."""
+                 aug_test: bool = False, max_images: Optional[int] = None,
+                 log_fn=print):
+    """Per-image inference -> COCO-protocol metrics.
+
+    Protocol fidelity: images are keep-ratio resized to
+    ``test_cfg.img_scale`` (default (1333, 800), the reference test pipeline
+    `coco_instance.py:10,20`) and padded to one of two static canvases, then
+    detections are rescaled to the original frame.
+
+    With ``aug_test`` and a ``tta`` config dict, runs the reference HTC-Aug
+    multi-scale+flip protocol (`htc_aug.py:203-241`): per-aug inference,
+    per-scale box gating (`tta.scale_ranges`, named area bands or numeric
+    sqrt-area ranges), soft-NMS merge.
+    """
+    from vitadapter.det.cascade import merge_aug_detections
+
     model = build_model(dict(cfg.model))
     evaluators = {t: COCOEvaluator(dataset.num_classes, iou_type=t)
                   for t in iou_types}
+    tcfg = dict(cfg.get("test_cfg", {}))
+    img_scale = tuple(tcfg.get("img_scale", (1333, 800)))
+    tta = dict(cfg.get("tta", {})) if aug_test else {}
+    if aug_test and not tta.get("scales"):
+        raise ValueError(
+            "--aug-test requires a `tta = dict(scales=[...])` config "
+            "(see configs/htc/htc++_..._ms.py)")
+    if aug_test:
+        scales = [tuple(s) for s in tta["scales"]]
+        flips = (False, True)
+        ranges = tta.get("scale_ranges")
+        # reference indexing: scale_ranges[i // 2] over the
+        # (scale0, scale0-flip, scale1, ...) aug order
+        per_aug_ranges = (
+            [ranges[k] for k in range(len(scales)) for _ in flips]
+            if ranges is not None else None)
+    else:
+        scales, flips, per_aug_ranges = [img_scale], (False,), None
 
     @jax.jit
     def infer(img):
         return model.apply(variables, normalize(img))
 
     n = min(len(dataset), max_images or len(dataset))
-    bucket = cfg.get("test_cfg", {}).get("pad_bucket", 128)
     for i in range(n):
         img, gts = dataset.load(i)
-        x, (H, W) = pad_to_bucket(jnp.asarray(img, jnp.float32)[None], bucket)
-        out = infer(x)
-        dets = {k: np.asarray(v[0]) for k, v in out.items()}
+        H, W = img.shape[:2]
+        per_aug = [_infer_one_aug(infer, img, s, f)
+                   for s in scales for f in flips]
+        if aug_test:
+            dets = merge_aug_detections(
+                per_aug, scale_ranges=per_aug_ranges,
+                iou_thr=tta.get("iou_thr", 0.5),
+                max_dets=tta.get("max_per_img", 100))
+        else:
+            dets = per_aug[0]
         if "masks" in dets and "segm" in evaluators:
-            # paste 28x28 mask crops into full-size binary masks (host)
-            full = np.zeros((len(dets["boxes"]), H, W), bool)
-            for d, (box, m) in enumerate(zip(dets["boxes"], dets["masks"])):
-                x1, y1, x2, y2 = [int(round(float(v))) for v in box]
-                x2, y2 = min(max(x2, x1 + 1), W), min(max(y2, y1 + 1), H)
-                x1, y1 = max(x1, 0), max(y1, 0)
-                from PIL import Image
-                mm = np.asarray(Image.fromarray(
-                    (m * 255).astype(np.uint8)).resize(
-                        (x2 - x1, y2 - y1))) > 127
-                full[d, y1:y2, x1:x2] = mm
-            dets["masks"] = full
+            dets["masks"] = paste_mask_crops(dets, H, W)
             gts = dict(gts)
         for t, ev in evaluators.items():
             ev.add_image(dets, gts)
@@ -329,7 +417,13 @@ def run_grounding_eval(cfg, variables, dataset, aug_test: bool = False,
         tokenizer = ClipTokenizer(cfg.data.get("bpe_vocab"))
     tok = tokenizer
     max_sent = cfg.data.get("max_sent_len", 128)
+    # reference test protocol: keep-ratio resize to img_scale (wsdm2023
+    # `configs/_base_/datasets/wsdm2023.py:13,26` = (1333, 800)); TTA runs
+    # the ratio-scaled set of the same static canvases
+    img_scale = tuple(cfg.get("test_cfg", {}).get("img_scale", (1333, 800)))
     tta_ratios = (0.75, 1.0, 1.25) if aug_test else (1.0,)
+    tta_scales = [(int(max(img_scale) * r), int(min(img_scale) * r))
+                  for r in tta_ratios]
 
     @jax.jit
     def infer(img, ids, mask):
@@ -343,17 +437,17 @@ def run_grounding_eval(cfg, variables, dataset, aug_test: bool = False,
         ids = jnp.asarray(ids, jnp.int32)[None]
         r_mask = jnp.asarray(r_mask, jnp.int32)[None]
         per_scale = []
-        h0, w0 = img.shape[:2]
-        for r in tta_ratios:
-            im2, _ = T.resize_keep_ratio(
-                img, None, (max(h0, w0), min(h0, w0)), r)
-            x, _ = pad_to_bucket(jnp.asarray(im2, jnp.float32)[None],
-                                 cfg.get("test_cfg", {}).get("pad_bucket",
-                                                             128))
-            out = infer(x, ids, r_mask)
+        for scale in tta_scales:
+            im2, _ = T.resize_keep_ratio(img, None, scale)
+            rh, rw = im2.shape[:2]
+            land, port = test_canvas(scale)
+            ch, cw = land if rw >= rh else port
+            x = np.zeros((ch, cw, 3), np.float32)
+            x[:rh, :rw] = im2
+            out = infer(jnp.asarray(x)[None], ids, r_mask)
             res = {k: np.asarray(v[0]) for k, v in out.items()}
-            sy = img.shape[0] / im2.shape[0]
-            sx = img.shape[1] / im2.shape[1]
+            sy = img.shape[0] / rh
+            sx = img.shape[1] / rw
             res["boxes"] = res["boxes"] * np.asarray([sx, sy, sx, sy],
                                                      np.float32)
             per_scale.append(res)
