@@ -44,10 +44,15 @@ CASES = [
     ("odd", ((13, 17), (7, 9)), 1, 300, 2, 32, 3),
     # DINO / grounding 4-scale encoder geometry (ChannelMapper pyramid)
     ("dino-4lvl", ((64, 64), (32, 32), (16, 16), (8, 8)), 2, 5440, 8, 32, 4),
+    # pixel-decoder encoder with query_segments (level-pure query tiles)
+    ("pixdec-512-seg", ((64, 64), (32, 32), (16, 16)), 2, 5376, 8, 32, 4,
+     (4096, 1024, 256)),
+    # segmented with a non-chunkable odd level (static-slice fallback path)
+    ("odd-seg", ((16, 16), (13, 17)), 1, 477, 2, 32, 3, (256, 221)),
 ]
 
 
-def run_case(name, shapes, B, Lq, M, D, P, dtype, check_grads):
+def run_case(name, shapes, B, Lq, M, D, P, segs=None, *, dtype, check_grads):
     S = sum(h * w for h, w in shapes)
     L = len(shapes)
     rng = np.random.RandomState(hash(name) % (2**31))
@@ -59,7 +64,7 @@ def run_case(name, shapes, B, Lq, M, D, P, dtype, check_grads):
 
     t0 = time.time()
     out = jax.jit(
-        lambda v, l, a: ms_deform_attn_pallas(v, shapes, l, a)
+        lambda v, l, a: ms_deform_attn_pallas(v, shapes, l, a, segs)
     )(value, loc, attn)
     ref = jax.jit(
         lambda v, l, a: ms_deform_attn_block(
@@ -81,7 +86,7 @@ def run_case(name, shapes, B, Lq, M, D, P, dtype, check_grads):
         t0 = time.time()
 
         def loss_pallas(v, l, a):
-            o = ms_deform_attn_pallas(v, shapes, l, a)
+            o = ms_deform_attn_pallas(v, shapes, l, a, segs)
             return (o.astype(jnp.float32) * w_out).sum()
 
         def loss_ref(v, l, a):
@@ -172,8 +177,9 @@ def main():
     for dtype in (jnp.float32, jnp.bfloat16):
         for case in CASES:
             name = case[0]
-            # grads on the two adapter-critical cases (cheapest full check)
-            check_grads = name in ("extractor-512", "odd")
+            # grads on the adapter-critical cases + segmented paths
+            check_grads = name in ("extractor-512", "odd", "pixdec-512-seg",
+                                   "odd-seg")
             try:
                 ok = run_case(*case, dtype=dtype, check_grads=check_grads)
             except Exception as e:  # noqa: BLE001

@@ -39,10 +39,15 @@ class DeformableEncoderLayer(nn.Module):
         d = x.shape[-1]
         # mmcv MultiScaleDeformableAttention adds query_pos to the query used
         # for offsets/weights; the value path sees x without pos.
+        # the encoder queries ARE the concatenated raster grids of the
+        # pyramid levels — declare that so the Pallas kernel's row-band
+        # skipping sees level-pure query tiles
+        segs = tuple(h * w for h, w in spatial_shapes)
         attn = MSDeformAttn(d_model=d, n_levels=self.n_levels,
                             n_heads=self.num_heads, n_points=self.n_points,
                             dtype=self.dtype, name="attn")(
-                                x + pos, ref_points, x, spatial_shapes)
+                                x + pos, ref_points, x, spatial_shapes,
+                                query_segments=segs)
         x = nn.LayerNorm(name="norm1")(x + attn)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)

@@ -118,14 +118,16 @@ class Injector(nn.Module):
 
     @nn.compact
     def __call__(self, query: jax.Array, reference_points: jax.Array,
-                 feat: jax.Array, spatial_shapes: SpatialShapes) -> jax.Array:
+                 feat: jax.Array, spatial_shapes: SpatialShapes,
+                 query_segments=None) -> jax.Array:
         dim = query.shape[-1]
         q = nn.LayerNorm(epsilon=1e-6, name="query_norm")(query)
         f = nn.LayerNorm(epsilon=1e-6, name="feat_norm")(feat)
         attn = MSDeformAttn(d_model=dim, n_levels=self.n_levels,
                             n_heads=self.num_heads, n_points=self.n_points,
                             ratio=self.deform_ratio, dtype=self.dtype,
-                            name="attn")(q, reference_points, f, spatial_shapes)
+                            name="attn")(q, reference_points, f, spatial_shapes,
+                                         query_segments=query_segments)
         gamma = self.param(
             "gamma",
             lambda key, shape: jnp.full(shape, self.init_values, jnp.float32),
@@ -150,14 +152,16 @@ class Extractor(nn.Module):
     @nn.compact
     def __call__(self, query: jax.Array, reference_points: jax.Array,
                  feat: jax.Array, spatial_shapes: SpatialShapes,
-                 H: int, W: int, deterministic: bool = True) -> jax.Array:
+                 H: int, W: int, deterministic: bool = True,
+                 query_segments=None) -> jax.Array:
         dim = query.shape[-1]
         q = nn.LayerNorm(epsilon=1e-6, name="query_norm")(query)
         f = nn.LayerNorm(epsilon=1e-6, name="feat_norm")(feat)
         attn = MSDeformAttn(d_model=dim, n_levels=self.n_levels,
                             n_heads=self.num_heads, n_points=self.n_points,
                             ratio=self.deform_ratio, dtype=self.dtype,
-                            name="attn")(q, reference_points, f, spatial_shapes)
+                            name="attn")(q, reference_points, f, spatial_shapes,
+                                         query_segments=query_segments)
         query = query + attn
         if self.with_cffn:
             ffn = ConvFFN(hidden_features=int(dim * self.cffn_ratio),
@@ -209,12 +213,20 @@ class InteractionBlock(nn.Module):
                  deterministic: bool = True):
         ref1, shapes1 = injector_inputs
         ref2, shapes2 = extractor_inputs
-        x = self.injector(x, ref1, c, shapes1)
+        # both query sets are raster-grid concats: ViT tokens (the extractor
+        # VALUE grid, shapes2) and the SPM pyramid (the injector VALUE
+        # pyramid, shapes1) — declare them for kernel row-band skipping
+        inj_segs = tuple(h * w for h, w in shapes2)
+        ext_segs = tuple(h * w for h, w in shapes1)
+        x = self.injector(x, ref1, c, shapes1, query_segments=inj_segs)
         x = blocks_fn(x)
-        c = self.extractor(c, ref2, x, shapes2, H, W, deterministic=deterministic)
+        c = self.extractor(c, ref2, x, shapes2, H, W,
+                           deterministic=deterministic,
+                           query_segments=ext_segs)
         if self.extra_extractors is not None:
             for ex in self.extra_extractors:
-                c = ex(c, ref2, x, shapes2, H, W, deterministic=deterministic)
+                c = ex(c, ref2, x, shapes2, H, W,
+                       deterministic=deterministic, query_segments=ext_segs)
         return x, c
 
 

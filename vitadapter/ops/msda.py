@@ -210,6 +210,7 @@ def ms_deform_attn(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
     impl: str = "auto",
+    query_segments: Optional[Tuple[int, ...]] = None,
 ) -> jax.Array:
     """Multi-scale deformable attention sampling with implementation dispatch.
 
@@ -218,13 +219,19 @@ def ms_deform_attn(
       'block'  — XLA 2x2xD block gather (TPU-fast, runs everywhere)
       'xla'    — 4-corner take_along reference formulation
       'auto'   — pallas on TPU, block elsewhere
+
+    query_segments: static per-level query counts when the queries are a
+    concatenation of raster-ordered pyramid grids (perf hint for the Pallas
+    kernel's row-band skipping; the math is implementation-independent).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "block"
     if impl == "pallas":
         from vitadapter.ops.msda_pallas import ms_deform_attn_pallas
+        segs = tuple(query_segments) if query_segments else None
         return ms_deform_attn_pallas(
-            value, spatial_shapes, sampling_locations, attention_weights)
+            value, spatial_shapes, sampling_locations, attention_weights,
+            segs)
     if impl == "block":
         return ms_deform_attn_block(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -319,6 +326,7 @@ class MSDeformAttn(nn.Module):
         input_flatten: jax.Array,
         spatial_shapes: SpatialShapes,
         input_padding_mask: Optional[jax.Array] = None,
+        query_segments: Optional[Tuple[int, ...]] = None,
     ) -> jax.Array:
         B, Lq, _ = query.shape
         S = input_flatten.shape[1]
@@ -357,5 +365,6 @@ class MSDeformAttn(nn.Module):
                 f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}"
             )
 
-        out = ms_deform_attn(value, spatial_shapes, locations, attn)
+        out = ms_deform_attn(value, spatial_shapes, locations, attn,
+                             query_segments=query_segments)
         return self.output_proj(out)

@@ -63,6 +63,60 @@ def _n_col_chunks(cols: int, D: int, target: int) -> int:
 _PFOLD = os.environ.get("VITADAPTER_MSDA_PFOLD", "1") == "1"
 
 
+def _level_chunk(H: int, W: int, target: int) -> int:
+    """Flat chunk length for a (H, W) level: whole rows, divides H*W, and
+    128-aligned so the anchored dynamic-start slices stay sublane-legal.
+    Falls back to the full level (single chunk, no banding) when no aligned
+    row count exists (e.g. odd detection map widths)."""
+    HW = H * W
+    for rows in range(max(1, target // W), 0, -1):
+        cl = rows * W
+        if HW % cl == 0 and cl % 128 == 0:
+            return cl
+    return HW
+
+
+def _norm_segments(Lq: int, query_segments) -> Tuple[int, ...]:
+    """Validate/normalize the optional query-segment structure."""
+    if not query_segments:
+        return None
+    segs = tuple(int(s) for s in query_segments)
+    return segs if sum(segs) == Lq and all(s > 0 for s in segs) else None
+
+
+def _pad_segments(t: jax.Array, segs, T: int, cv=0.0) -> jax.Array:
+    """(BM, Lq, K) -> (BM, sum_ceil, K): pad each segment to a T multiple so
+    every query tile is segment-pure (a tile mixing pyramid levels has a
+    near-full sampling band; pure tiles keep bands narrow)."""
+    parts = []
+    s = 0
+    for seg in segs:
+        p = -(-seg // T) * T
+        part = t[:, s:s + seg]
+        if p != seg:
+            part = jnp.pad(part, ((0, 0), (0, p - seg), (0, 0)),
+                           constant_values=cv)
+        parts.append(part)
+        s += seg
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _unpad_segments(out: jax.Array, segs, T: int) -> jax.Array:
+    """Inverse of `_pad_segments` along axis 1."""
+    parts = []
+    ps = 0
+    for seg in segs:
+        parts.append(out[:, ps:ps + seg])
+        ps += -(-seg // T) * T
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+# tile size for the segmented (grid-structured-queries) path: smaller tiles
+# span fewer raster rows -> narrower bands (measured optimum at the
+# pixel-decoder geometry: 256 = 22.6 ms vs 512 = 29.2 ms vs old 30.9 ms)
+SEG_TILE = 256
+
+
 def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
                    *, H, W, D, T):
     # y0/x0 (1, T, 1) fp32 (integer-valued); wy/wx (1, T, 2) fp32;
@@ -270,8 +324,10 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
 
     Deformable sampling is LOCAL: a query tile's points touch a narrow row
     band of each level, so most K-chunks of the one-hot contraction are
-    all-zero. `bounds_ref` (scalar-prefetched SMEM, (BM, n_tiles, 2L)
-    int32) carries each tile's per-level [lo, hi) flat-index row bounds
+    all-zero. `bounds_ref` (scalar-prefetched SMEM, FLAT (BM*n_tiles*2L,)
+    int32 — a multi-dim SMEM operand is tile-padded and blows the 1M SMEM
+    budget at flagship BM) carries each tile's per-level [lo, hi)
+    flat-index row bounds
     (computed host-side from the sampling coords, attention-masked);
     chunks outside the band are skipped with `pl.when` — the dominant VPU
     cost (the relu one-hot builds) simply never runs for them.
@@ -286,6 +342,8 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
             else jax.lax.Precision.DEFAULT)
     bm = pl.program_id(0)
     ti = pl.program_id(1)
+    L = len(shapes)
+    base = (bm * pl.num_programs(1) + ti) * (2 * L)
     y = y_ref[0]
     x = x_ref[0]
     a = a_ref[0]
@@ -293,35 +351,54 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
     start = 0
     for lvl, (H, W) in enumerate(shapes):
         HW = H * W
-        # 16-row chunks: constant skip granularity across level sizes (the
-        # row-band of a query tile spans ~the same row count per level)
-        chunk_l = max(min(chunk, W * 16), 1)
-        lo = bounds_ref[bm, ti, 2 * lvl]
-        hi = bounds_ref[bm, ti, 2 * lvl + 1]
-        c0 = 0
-        while c0 < HW:
-            hwc = min(chunk_l, HW - c0)
+        chunk_l = _level_chunk(H, W, chunk)
+        lo = bounds_ref[base + 2 * lvl]
+        hi = bounds_ref[base + 2 * lvl + 1]
+        # chunks ANCHORED at the tile's band start (dynamic, chunk-aligned):
+        # executed chunk count == ceil(band/chunk) regardless of where the
+        # band sits, vs fixed-position chunks whose granularity made the
+        # skip ineffective (a 17-row band straddling 16-row chunks ran 2-3)
+        lo_al = (lo // chunk_l) * chunk_l
 
-            @pl.when((lo < c0 + hwc) & (hi > c0))
-            def _(c0=c0, hwc=hwc, lvl=lvl, W=W, start=start):
-                iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
-                hof = iota // W
-                h_of = hof.astype(jnp.float32)
-                w_of = (iota - hof * W).astype(jnp.float32)
-                C = jnp.zeros((T, hwc), jnp.float32)
-                for p in range(P):
-                    col = lvl * P + p
-                    wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]),
-                                     0.0)
-                    wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]),
-                                     0.0)
-                    C = C + wy * wx * a[:, col:col + 1]
-                vc = v_ref[0, start + c0:start + c0 + hwc, :]
-                o_ref[0] += jnp.dot(C.astype(dt), vc,
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec).astype(o_ref.dtype)
+        def step(c0, dyn, lvl=lvl, W=W, start=start, chunk_l=chunk_l):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1) + c0
+            hof = iota // W
+            h_of = hof.astype(jnp.float32)
+            w_of = (iota - hof * W).astype(jnp.float32)
+            C = jnp.zeros((T, chunk_l), jnp.float32)
+            for p in range(P):
+                col = lvl * P + p
+                wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]),
+                                 0.0)
+                wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]),
+                                 0.0)
+                C = C + wy * wx * a[:, col:col + 1]
+            if dyn:
+                vc = v_ref[0, pl.ds(start + c0, chunk_l), :]
+            else:
+                vc = v_ref[0, start + c0:start + c0 + chunk_l, :]
+            o_ref[0] += jnp.dot(C.astype(dt), vc,
+                                preferred_element_type=jnp.float32,
+                                precision=prec).astype(o_ref.dtype)
 
-            c0 += hwc
+        if chunk_l == HW:
+            # single-chunk level (no 128-aligned row chunking exists):
+            # static slice — a traced-start pl.ds of unaligned length is
+            # not sublane-legal in Mosaic
+            @pl.when(lo < hi)
+            def _():
+                step(0, False)
+        else:
+            def body(i, _, chunk_l=chunk_l, lo_al=lo_al, hi=hi):
+                c0 = lo_al + i * chunk_l
+
+                @pl.when(c0 < hi)
+                def _():
+                    step(c0, True)
+
+                return 0
+
+            jax.lax.fori_loop(0, HW // chunk_l, body, 0)
         start += HW
 
 
@@ -349,12 +426,14 @@ def _row_bounds(yq, shapes, T):
         r1 = jnp.clip(jnp.floor(ymax) + 1, 0, H - 1)
         bounds.append((r0 * W).astype(jnp.int32))          # inf -> lo=(H-1)W
         bounds.append(((r1 + 1) * W).astype(jnp.int32))    # -inf -> hi=W
-    return jnp.stack(bounds, axis=-1)                       # (BM, nt, 2L)
+    # FLAT (BM*nt*2L,) — multi-dim scalar-prefetch operands are tile-padded
+    # in SMEM (1M budget); flat 1-D stays at true size
+    return jnp.stack(bounds, axis=-1).reshape(-1)
 
 
-ML_CHUNK = 1024
-# smaller K-chunks for the fused backward: its unrolled per-point temporary
-# set is ~4x the forward's, and scoped-vmem must hold them all
+# target flat chunk length (whole rows, see `_level_chunk`): small chunks +
+# anchored starts make the executed work track the actual band size
+ML_CHUNK = 256
 BWD_ML_CHUNK = 256
 # value budget for keeping the whole multi-level tensor VMEM-resident per
 # program; above this fall back to the per-level kernels
@@ -378,13 +457,14 @@ def _pick_tile(Lq: int) -> int:
 
 
 def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
-                attention_weights):
+                attention_weights, query_segments=None):
     B, S, M, D = value.shape
     Lq = sampling_locations.shape[1]
     L = len(spatial_shapes)
     P = sampling_locations.shape[4]
     BM = B * M
-    T = _pick_tile(Lq)
+    segs = _norm_segments(Lq, query_segments)
+    T = SEG_TILE if segs else _pick_tile(Lq)
 
     locf = sampling_locations.astype(jnp.float32)
     hw = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
@@ -399,12 +479,18 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
     xq = to_bmq(xy[..., 0])
     yq = to_bmq(xy[..., 1])
     aq = to_bmq(att)
-    nq_pad = -(-Lq // T) * T
-    if nq_pad != Lq:
-        pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
-        yq = jnp.pad(yq, pad, constant_values=-7)
-        xq = jnp.pad(xq, pad, constant_values=-7)
-        aq = jnp.pad(aq, pad)
+    if segs:
+        yq = _pad_segments(yq, segs, T, cv=-7)
+        xq = _pad_segments(xq, segs, T, cv=-7)
+        aq = _pad_segments(aq, segs, T)
+        nq_pad = yq.shape[1]
+    else:
+        nq_pad = -(-Lq // T) * T
+        if nq_pad != Lq:
+            pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+            yq = jnp.pad(yq, pad, constant_values=-7)
+            xq = jnp.pad(xq, pad, constant_values=-7)
+            aq = jnp.pad(aq, pad)
     vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
     bounds = _row_bounds(yq, spatial_shapes, T)
 
@@ -427,16 +513,17 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=VMEM_LIMIT),
     )(bounds, yq, xq, aq, vm)
-    out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
+    out = _unpad_segments(out, segs, T) if segs else out[:, :Lq]
+    out = out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
 def _forward(value, spatial_shapes: SpatialShapes, sampling_locations,
-             attention_weights):
+             attention_weights, query_segments=None):
     B, S, M, D = value.shape
     if _ML and S * D * value.dtype.itemsize <= ML_MAX_VALUE_BYTES:
         return _forward_ml(value, spatial_shapes, sampling_locations,
-                           attention_weights)
+                           attention_weights, query_segments)
     Lq = sampling_locations.shape[1]
     starts = level_start_index(spatial_shapes)
     out = jnp.zeros((B, Lq, M, D), jnp.float32)
@@ -451,21 +538,28 @@ def _forward(value, spatial_shapes: SpatialShapes, sampling_locations,
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(value, spatial_shapes: SpatialShapes,
-                          sampling_locations, attention_weights):
+                          sampling_locations, attention_weights,
+                          query_segments=None):
     """MSDA sampling via the Pallas contraction kernel (forward); backward
     computes grad_value with a Pallas MXU contraction (fp32 accumulate, no
     scatter — deterministic, unlike the CUDA atomicAdd col2im in reference
     `ms_deform_im2col_cuda.cuh:846-922`) and grad wrt sampling locations /
-    attention weights via the XLA VJP of the gather-only block formulation."""
+    attention weights via the XLA VJP of the gather-only block formulation.
+
+    `query_segments` (static tuple summing to Lq, optional): declares that
+    the queries are a concatenation of raster-ordered pyramid levels; each
+    segment is padded to its own tile boundary so row-band skipping sees
+    level-pure tiles (pure perf hint — the math is unchanged)."""
     return _forward(value, spatial_shapes, sampling_locations,
-                    attention_weights)
+                    attention_weights, query_segments)
 
 
-def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
+         query_segments=None):
     out = _forward(value, spatial_shapes, sampling_locations,
-                   attention_weights)
+                   attention_weights, query_segments)
     return out, (value, sampling_locations, attention_weights)
 
 
@@ -786,15 +880,18 @@ def _bwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
             else jax.lax.Precision.DEFAULT)
     LP = len(shapes) * P
     gd = g.astype(dt)
+    base = (bm * pl.num_programs(1) + t_idx) * (2 * len(shapes))
     start = 0
     for lvl, (H, W) in enumerate(shapes):
         HW = H * W
-        lo = bounds_ref[bm, t_idx, 2 * lvl]
-        hi = bounds_ref[bm, t_idx, 2 * lvl + 1]
+        chunk_l = _level_chunk(H, W, chunk)
+        lo = bounds_ref[base + 2 * lvl]
+        hi = bounds_ref[base + 2 * lvl + 1]
+        lo_al = (lo // chunk_l) * chunk_l
 
         def chunk_step(c0, hwc, dyn, lvl=lvl, W=W, start=start):
-            """One K-chunk; pure ref side effects (dv_ref, dg_s). c0 is a
-            traced scalar when dyn, python int otherwise."""
+            """One K-chunk (anchored at a dynamic start when dyn); pure ref
+            side effects (dv_ref, dg_s)."""
             iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
             hof = iota // W
             h_of = hof.astype(jnp.float32)
@@ -842,43 +939,40 @@ def _bwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
                 cur = dv_ref[0, start + c0:start + c0 + hwc, :]
                 dv_ref[0, start + c0:start + c0 + hwc, :] = cur + contrib
 
-        if HW % chunk == 0 and HW > chunk:
+        if chunk_l == HW:
+            # single-chunk level: static slices (see `_fwd_ml_kernel`)
+            @pl.when(lo < hi)
+            def _():
+                chunk_step(0, HW, False)
+        else:
             # lax.fori_loop keeps only one chunk's temporaries live — the
             # python-unrolled form made Mosaic hold every chunk's ~20 fp32
             # (T, chunk) arrays simultaneously (>100M scoped vmem at the
-            # pixel-decoder geometry)
-            def body(c, _):
-                c0 = c * chunk
+            # pixel-decoder geometry). Chunks are anchored at the tile's
+            # band start (see `_fwd_ml_kernel`).
+            def body(c, _, chunk_l=chunk_l, lo_al=lo_al, hi=hi):
+                c0 = lo_al + c * chunk_l
 
-                @pl.when((lo < c0 + chunk) & (hi > c0))
+                @pl.when(c0 < hi)
                 def _():
-                    chunk_step(c0, chunk, True)
+                    chunk_step(c0, chunk_l, True)
 
                 return 0
 
-            jax.lax.fori_loop(0, HW // chunk, body, 0)
-        else:
-            c0 = 0
-            while c0 < HW:
-                hwc = min(chunk, HW - c0)
-
-                @pl.when((lo < c0 + hwc) & (hi > c0))
-                def _(c0=c0, hwc=hwc):
-                    chunk_step(c0, hwc, False)
-
-                c0 += hwc
+            jax.lax.fori_loop(0, HW // chunk_l, body, 0)
         start += HW
     dg_ref[0] = dg_s[...]
 
 
-def _backward_ml(spatial_shapes, value, loc, attn, g):
+def _backward_ml(spatial_shapes, value, loc, attn, g, query_segments=None):
     """Fused dv/dloc/dattn via `_bwd_ml_kernel`. g: (B, Lq, M*D) fp32."""
     B, S, M, D = value.shape
     Lq = loc.shape[1]
     L = len(spatial_shapes)
     P = loc.shape[4]
     BM = B * M
-    T = _pick_tile(Lq)
+    segs = _norm_segments(Lq, query_segments)
+    T = SEG_TILE if segs else _pick_tile(Lq)
     LP = L * P
 
     locf = loc.astype(jnp.float32)
@@ -895,13 +989,20 @@ def _backward_ml(spatial_shapes, value, loc, attn, g):
     aq = to_bmq(att)
     g4 = g.reshape(B, Lq, M, D).astype(jnp.float32)
     gq = jnp.moveaxis(g4, 2, 1).reshape(BM, Lq, D)
-    nq_pad = -(-Lq // T) * T
-    if nq_pad != Lq:
-        pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
-        yq = jnp.pad(yq, pad, constant_values=-7)
-        xq = jnp.pad(xq, pad, constant_values=-7)
-        aq = jnp.pad(aq, pad)
-        gq = jnp.pad(gq, pad)
+    if segs:
+        yq = _pad_segments(yq, segs, T, cv=-7)
+        xq = _pad_segments(xq, segs, T, cv=-7)
+        aq = _pad_segments(aq, segs, T)
+        gq = _pad_segments(gq, segs, T)
+        nq_pad = yq.shape[1]
+    else:
+        nq_pad = -(-Lq // T) * T
+        if nq_pad != Lq:
+            pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+            yq = jnp.pad(yq, pad, constant_values=-7)
+            xq = jnp.pad(xq, pad, constant_values=-7)
+            aq = jnp.pad(aq, pad)
+            gq = jnp.pad(gq, pad)
     vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
     bounds = _row_bounds(yq, spatial_shapes, T)
 
@@ -931,7 +1032,8 @@ def _backward_ml(spatial_shapes, value, loc, attn, g):
     )(bounds, yq, xq, aq, gq, vm)
 
     dv = dv.reshape(B, M, S, D).transpose(0, 2, 1, 3).astype(value.dtype)
-    dg = dg[:, :Lq].reshape(B, M, Lq, 3 * LP)
+    dg = (_unpad_segments(dg, segs, T) if segs else dg[:, :Lq])
+    dg = dg.reshape(B, M, Lq, 3 * LP)
     dg = jnp.moveaxis(dg, 1, 2)                        # (B, Lq, M, 3LP)
     dattn_raw = dg[..., :LP].reshape(B, Lq, M, L, P)
     dlx_raw = dg[..., LP:2 * LP].reshape(B, Lq, M, L, P)
@@ -946,13 +1048,13 @@ def _backward_ml(spatial_shapes, value, loc, attn, g):
     return dv, dloc.astype(loc.dtype), dattn
 
 
-def _bwd(spatial_shapes, res, g):
+def _bwd(spatial_shapes, query_segments, res, g):
     value, loc, attn = res
     B, S, M, D = value.shape
     if (_ML and _PALLAS_DGRID
             and S * D * value.dtype.itemsize <= ML_MAX_VALUE_BYTES):
         return _backward_ml(spatial_shapes, value, loc, attn,
-                            g.astype(jnp.float32))
+                            g.astype(jnp.float32), query_segments)
     # all-Pallas backward: grad_value via the accumulating contraction
     # kernel (no scatter), dloc/dattn via the separable-derivative kernel
     dv = _grad_value_pallas(spatial_shapes, value.shape, loc, attn,
