@@ -68,7 +68,10 @@ def test_hungarian_matches_scipy():
     rng = np.random.RandomState(0)
     cost = rng.randn(2, 5, 4).astype(np.float32)
     n_valid = np.asarray([4, 2], np.int32)
-    out = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(n_valid)))
+    # impl pinned: under the 8-device conftest mesh 'auto' dispatches to the
+    # auction (exact-scipy equality is the callback path's contract)
+    out = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(n_valid),
+                                      impl="callback"))
     for b, n in enumerate(n_valid):
         rows, cols = linear_sum_assignment(cost[b, :, :n])
         expect = np.full(5, -1)
