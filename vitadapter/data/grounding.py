@@ -78,6 +78,9 @@ class VGDataset:
             os.path.join(self.img_dir, r["image"])).convert("RGB"))
         return img, {"boxes": np.asarray([r["bbox"]], np.float32),
                      "labels": np.zeros(1, np.int32),
+                     # single referred box, never a crowd region — required
+                     # by `pad_targets` for the train validity mask
+                     "iscrowd": np.zeros(1, bool),
                      "question": r.get("expression", r.get("question", ""))}
 
 
