@@ -64,14 +64,20 @@ def main():
                 return acc + out.astype(jnp.float32).mean()
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         float(run(variables, raw))  # compile + warm
-        t0 = time.perf_counter()
-        s = float(run(variables, raw))  # scalar fetch = real sync
-        assert np.isfinite(s)
-        return time.perf_counter() - t0
+        # median of repeats: tunnel dispatch latency is jittery (tens of ms)
+        # and no longer negligible against the measured compute
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            s = float(run(variables, raw))  # scalar fetch = real sync
+            assert np.isfinite(s)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
     t1 = timed(1)
     tn = timed(11)
     per_iter = (tn - t1) / 10.0
+    assert per_iter > 0, (tn, t1)
     img_s = batch / per_iter
 
     vs = 1.0 if BASELINE_IMG_PER_SEC is None else img_s / BASELINE_IMG_PER_SEC

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Component profile of the flagship Mask2Former train step (VERDICT r2 #4).
+
+Times the full batch-2 train step and ablations that isolate the big
+suspects: the all-layer Hungarian assignment (cost sampling + auction), the
+uncertainty point-sampled losses, the MSDA backward, and the optimizer.
+
+Usage: python tools/profile_train.py [--batch 2] [--size 512]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, args, n=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    # scalar-fetch sync (block_until_ready does not sync through the axon
+    # tunnel): reduce to a scalar and pull it
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    s = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    assert np.isfinite(s)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--num-points", type=int, default=12544)
+    args = ap.parse_args()
+
+    from vitadapter.heads import mask2former_loss as ml
+    from vitadapter.train.optim import make_optimizer
+    from vitadapter.train.trainer import TrainState, make_m2f_train_step
+    from vitadapter.zoo import mask2former_vit_adapter
+
+    B, S = args.batch, args.size
+    model = mask2former_vit_adapter("large", num_classes=150,
+                                    dtype=jnp.bfloat16)
+    img = jnp.zeros((B, S, S, 3), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), img)
+    tx, _ = make_optimizer(variables["params"], total_steps=1000,
+                           warmup_steps=10, grad_clip=0.01)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(B, S, S, 3), jnp.float32),
+        "label": jnp.asarray(np.random.RandomState(1).randint(
+            0, 150, (B, S, S)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(2)
+
+    # --- full step ---
+    step = jax.jit(make_m2f_train_step(model, num_classes=150,
+                                       max_instances=60,
+                                       num_points=args.num_points))
+    ms_full = timed(lambda st, b, r: step(st, b, r)[1]["loss"],
+                    (state, batch, rng))
+    print(f"full train step          {ms_full:8.1f} ms/batch{B}")
+
+    # --- forward + loss only (no grad/optimizer) ---
+    def fwd_loss(params, b, r):
+        cls_list, mask_list = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            b["image"], train=True, mutable=False, rngs={"dropout": r},
+            method=lambda m, x, train: m.decode_head(m.backbone(x),
+                                                     train=train))
+        total, _ = ml.mask2former_loss(
+            r, cls_list, mask_list, b["label"], num_classes=150,
+            max_instances=60, num_points=args.num_points)
+        return total
+
+    try:
+        jl = jax.jit(fwd_loss)
+        ms_fwd = timed(jl, (state.params, batch, rng))
+        print(f"fwd + loss (no grad)     {ms_fwd:8.1f} ms")
+    except Exception as e:
+        print(f"fwd+loss ERR {str(e)[:200]}")
+        ms_fwd = None
+
+    # --- head outputs once, then loss-only ablations ---
+    cls_list, mask_list = jax.jit(
+        lambda p, x, r: model.apply(
+            {"params": p, "batch_stats": state.batch_stats}, x, train=True,
+            mutable=False, rngs={"dropout": r},
+            method=lambda m, xx, train: m.decode_head(m.backbone(xx),
+                                                      train=train)))(
+        state.params, batch["image"], rng)
+    cls_list = [jax.lax.stop_gradient(c) for c in cls_list]
+    mask_list = [jax.lax.stop_gradient(m) for m in mask_list]
+
+    def loss_only(cl0, r):
+        cl = [cl0] + cls_list[1:]
+        total, _ = ml.mask2former_loss(
+            r, cl, mask_list, batch["label"], num_classes=150,
+            max_instances=60, num_points=args.num_points)
+        return total
+
+    ms_loss = timed(jax.jit(loss_only), (cls_list[0], rng))
+    print(f"loss only (all layers)   {ms_loss:8.1f} ms")
+
+    def assign_only(cl0, r):
+        gt_labels, gt_valid = ml.present_classes(batch["label"], 150, 60)
+        cl = [cl0] + cls_list[1:]
+        out = ml._assign_all_layers(
+            r, jnp.stack(cl), jnp.stack(mask_list), batch["label"],
+            gt_labels, gt_valid, num_points=args.num_points,
+            cost_cls=2.0, cost_mask=5.0, cost_dice=5.0)
+        return out.astype(jnp.float32)
+
+    ms_assign = timed(jax.jit(assign_only), (cls_list[0], rng))
+    print(f"assignment (cost+LAP)    {ms_assign:8.1f} ms")
+
+    if ms_fwd is not None:
+        print(f"=> backward+optimizer    {ms_full - ms_fwd:8.1f} ms")
+        print(f"=> fwd graph (less loss) {ms_fwd - ms_loss:8.1f} ms")
+    print(f"=> per-layer losses      {ms_loss - ms_assign:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
