@@ -10,6 +10,13 @@ Accepts either an orbax train-state directory or a torch .pth checkpoint
 import argparse
 import os
 
+# honor an explicit JAX_PLATFORMS even though the axon sitecustomize
+# prepends 'axon' to jax_platforms (same guard as train.py / conftest)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 KNOWN_METRICS = ("mIoU", "bbox", "segm", "PQ", "IoU")
 

@@ -11,6 +11,14 @@ needed; multi-host runs call `jax.distributed.initialize()` first.
 import argparse
 import os
 
+# The axon sitecustomize prepends 'axon' to jax_platforms regardless of the
+# env; honor an explicit JAX_PLATFORMS (e.g. =cpu in CI subprocesses) so a
+# TPU-tunnel outage can't fail a CPU run (same guard as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train a model")
