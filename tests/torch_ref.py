@@ -605,3 +605,492 @@ class BEiTAdapterT(nn.Module):
         c4 = c4 + up(x4, 0.5)
 
         return [self.norm1(c1), self.norm2(c2), self.norm3(c3), self.norm4(c4)]
+
+
+# ---------------------------------------------------------------------------
+# Mask2Former head (pixel decoder + masked-attention DETR decoder)
+# Mini-reference of `mmseg_custom/models/decode_heads/mask2former_head.py` +
+# `plugins/msdeformattn_pixel_decoder.py`, with the mmseg key scheme that
+# `vitadapter.utils.checkpoint.convert_mask2former_head` consumes.
+# ---------------------------------------------------------------------------
+
+def sine_pos_torch(hw, num_feats, temperature=10000.0, scale=2 * math.pi,
+                   eps=1e-6):
+    """mmcv SinePositionalEncoding with an all-valid mask: (H, W, 2F)."""
+    H, W = hw
+    y = torch.arange(1, H + 1, dtype=torch.float32)[:, None].expand(H, W)
+    x = torch.arange(1, W + 1, dtype=torch.float32)[None, :].expand(H, W)
+    y = y / (H + eps) * scale
+    x = x / (W + eps) * scale
+    dim_t = torch.arange(num_feats, dtype=torch.float32)
+    dim_t = temperature ** (2 * torch.div(dim_t, 2, rounding_mode="floor")
+                            / num_feats)
+    pos_y = y[..., None] / dim_t
+    pos_x = x[..., None] / dim_t
+    pos_y = torch.stack([pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()],
+                        -1).reshape(H, W, num_feats)
+    pos_x = torch.stack([pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()],
+                        -1).reshape(H, W, num_feats)
+    return torch.cat([pos_y, pos_x], -1)
+
+
+class ConvGNT(nn.Module):
+    """mmcv ConvModule(conv, GN(32)) as named by the converter."""
+
+    def __init__(self, cin, cout, kernel=1, bias=False, act=False):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, kernel, padding=kernel // 2,
+                              bias=bias)
+        self.gn = nn.GroupNorm(32, cout, eps=1e-5)
+        self.act = act
+
+    def forward(self, x):
+        x = self.gn(self.conv(x))
+        return F.relu(x) if self.act else x
+
+
+class MHAWrapT(nn.Module):
+    """mmcv MultiheadAttention: torch MHA under `.attn`, residual outside."""
+
+    def __init__(self, C, heads):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(C, heads, batch_first=True)
+
+
+class FFNT2(nn.Module):
+    """mmcv FFN: layers = Sequential(Sequential(Linear, ReLU), Linear)."""
+
+    def __init__(self, C, hidden):
+        super().__init__()
+        self.layers = nn.Sequential(
+            nn.Sequential(nn.Linear(C, hidden), nn.ReLU()),
+            nn.Linear(hidden, C))
+
+
+class DetrDecoderLayerT(nn.Module):
+    """Post-norm order: cross_attn, norm, self_attn, norm, ffn, norm."""
+
+    def __init__(self, C, heads, ffn_dim):
+        super().__init__()
+        self.attentions = nn.ModuleList(
+            [MHAWrapT(C, heads), MHAWrapT(C, heads)])
+        self.norms = nn.ModuleList([nn.LayerNorm(C) for _ in range(3)])
+        self.ffns = nn.ModuleList([FFNT2(C, ffn_dim)])
+
+    def forward(self, q, q_pos, k, k_pos, attn_mask):
+        a, _ = self.attentions[0].attn(q + q_pos, k + k_pos, k,
+                                       attn_mask=attn_mask)
+        q = self.norms[0](q + a)
+        a, _ = self.attentions[1].attn(q + q_pos, q + q_pos, q)
+        q = self.norms[1](q + a)
+        y = self.ffns[0].layers(q)
+        return self.norms[2](q + y)
+
+
+class DeformableEncoderLayerT(nn.Module):
+    def __init__(self, C, heads, n_levels, n_points, ffn_dim):
+        super().__init__()
+        self.attentions = nn.ModuleList(
+            [MSDeformAttnT(C, n_levels, heads, n_points)])
+        self.norms = nn.ModuleList([nn.LayerNorm(C) for _ in range(2)])
+        self.ffns = nn.ModuleList([FFNT2(C, ffn_dim)])
+
+    def forward(self, x, pos, ref, shapes):
+        a = self.attentions[0](x + pos, ref, x, shapes)
+        x = self.norms[0](x + a)
+        y = self.ffns[0].layers(x)
+        return self.norms[1](x + y)
+
+
+class MSDeformAttnPixelDecoderT(nn.Module):
+    def __init__(self, in_channels, C, num_layers=6, heads=8, n_points=4,
+                 ffn_dim=1024, num_encoder_levels=3):
+        super().__init__()
+        L = self.L = num_encoder_levels
+        self.level_encoding = nn.Embedding(L, C)
+        self.input_convs = nn.ModuleList(
+            [ConvGNT(in_channels[-1 - i], C, 1, bias=True)
+             for i in range(L)])
+        n_fpn = len(in_channels) - L
+        self.lateral_convs = nn.ModuleList(
+            [ConvGNT(in_channels[i], C, 1) for i in range(n_fpn)])
+        self.output_convs = nn.ModuleList(
+            [ConvGNT(C, C, 3, act=True) for i in range(n_fpn)])
+        self.mask_feature = nn.Conv2d(C, C, 1)
+        self.encoder = nn.Module()
+        self.encoder.layers = nn.ModuleList(
+            [DeformableEncoderLayerT(C, heads, L, n_points, ffn_dim)
+             for _ in range(num_layers)])
+        self.num_feats = C // 2
+
+    def forward(self, feats):
+        L = self.L
+        n_in = len(feats)
+        B = feats[0].shape[0]
+        toks, poss, shapes, refs = [], [], [], []
+        for i in range(L):
+            f = feats[n_in - 1 - i]
+            H, W = f.shape[2], f.shape[3]
+            f = self.input_convs[i](f)
+            pos = sine_pos_torch((H, W), self.num_feats)
+            pos = pos + self.level_encoding.weight[i]
+            toks.append(f.flatten(2).transpose(1, 2))
+            poss.append(pos.reshape(1, H * W, -1).expand(B, -1, -1))
+            shapes.append((H, W))
+            ys = (torch.arange(H, dtype=torch.float32) + 0.5) / H
+            xs = (torch.arange(W, dtype=torch.float32) + 0.5) / W
+            yy, xx = torch.meshgrid(ys, xs, indexing="ij")
+            refs.append(torch.stack([xx.reshape(-1), yy.reshape(-1)], -1))
+        x = torch.cat(toks, 1)
+        pos = torch.cat(poss, 1)
+        ref = torch.cat(refs, 0)[None, :, None, :].expand(B, -1, L, -1)
+        for layer in self.encoder.layers:
+            x = layer(x, pos, ref, shapes)
+        outs = []
+        start = 0
+        for (H, W) in shapes:
+            outs.append(x[:, start:start + H * W].transpose(1, 2)
+                        .reshape(B, -1, H, W))
+            start += H * W
+        for i in range(n_in - L - 1, -1, -1):
+            lat = self.lateral_convs[i](feats[i])
+            y = lat + F.interpolate(outs[-1], size=lat.shape[2:],
+                                    mode="bilinear", align_corners=False)
+            outs.append(self.output_convs[i](y))
+        return self.mask_feature(outs[-1]), outs[:L]
+
+
+class Mask2FormerHeadT(nn.Module):
+    """Key scheme matches the converter; forward matches
+    `mask2former_head.py:404-525` (level-cycled memories, per-layer
+    forward_head, all-masked-row reset)."""
+
+    def __init__(self, in_channels, C, num_classes, num_queries,
+                 num_decoder_layers=9, heads=8, dec_ffn=2048, enc_ffn=1024,
+                 enc_heads=8, num_enc_layers=6):
+        super().__init__()
+        self.heads = heads
+        self.L = 3
+        self.pixel_decoder = MSDeformAttnPixelDecoderT(
+            in_channels, C, num_layers=num_enc_layers, heads=enc_heads,
+            ffn_dim=enc_ffn)
+        self.query_embed = nn.Embedding(num_queries, C)
+        self.query_feat = nn.Embedding(num_queries, C)
+        self.level_embed = nn.Embedding(self.L, C)
+        self.cls_embed = nn.Linear(C, num_classes + 1)
+        self.mask_embed = nn.Sequential(
+            nn.Linear(C, C), nn.ReLU(), nn.Linear(C, C), nn.ReLU(),
+            nn.Linear(C, C))
+        self.transformer_decoder = nn.Module()
+        self.transformer_decoder.layers = nn.ModuleList(
+            [DetrDecoderLayerT(C, heads, dec_ffn)
+             for _ in range(num_decoder_layers)])
+        self.transformer_decoder.post_norm = nn.LayerNorm(C)
+        self.num_feats = C // 2
+
+    def _forward_head(self, q, mask_feature, attn_size):
+        x = self.transformer_decoder.post_norm(q)
+        cls_pred = self.cls_embed(x)
+        m = self.mask_embed(x)
+        mask_pred = torch.einsum("bqc,bchw->bqhw", m, mask_feature)
+        am = F.interpolate(mask_pred, size=attn_size, mode="bilinear",
+                           align_corners=False)
+        B, Q = am.shape[:2]
+        am = (am.sigmoid() < 0.5).reshape(B, Q, -1)
+        all_masked = am.all(-1, keepdim=True)
+        am = am & ~all_masked
+        am = am[:, None].expand(B, self.heads, Q, am.shape[-1])
+        return cls_pred, mask_pred, am.reshape(B * self.heads, Q, -1)
+
+    def forward(self, feats):
+        B = feats[0].shape[0]
+        mask_feature, memories = self.pixel_decoder(feats)
+        dec_in, dec_pos, sizes = [], [], []
+        for i in range(self.L):
+            mem = memories[i]
+            H, W = mem.shape[2], mem.shape[3]
+            x = mem.flatten(2).transpose(1, 2) + self.level_embed.weight[i]
+            pos = sine_pos_torch((H, W), self.num_feats)
+            dec_in.append(x)
+            dec_pos.append(pos.reshape(1, H * W, -1).expand(B, -1, -1))
+            sizes.append((H, W))
+        q = self.query_feat.weight[None].expand(B, -1, -1)
+        q_pos = self.query_embed.weight[None].expand(B, -1, -1)
+        cls_list, mask_list = [], []
+        cls_pred, mask_pred, am = self._forward_head(q, mask_feature,
+                                                     sizes[0])
+        cls_list.append(cls_pred)
+        mask_list.append(mask_pred)
+        for i, layer in enumerate(self.transformer_decoder.layers):
+            li = i % self.L
+            q = layer(q, q_pos, dec_in[li], dec_pos[li], am)
+            cls_pred, mask_pred, am = self._forward_head(
+                q, mask_feature, sizes[(i + 1) % self.L])
+            cls_list.append(cls_pred)
+            mask_list.append(mask_pred)
+        return cls_list, mask_list
+
+
+# ---------------------------------------------------------------------------
+# UniPerceiver (UnifiedBertEncoder) trunk + adapter + grounding stack
+# Mini-reference of `wsdm2023/mmdet_custom/models/backbones/base/
+# uniperceiver.py` + `uniperceiver_adapter.py` + `base/grounding_block.py`,
+# key scheme consumed by `convert_uniperceiver_backbone`.
+# ---------------------------------------------------------------------------
+
+class JointAttentionT(nn.Module):
+    """Self-attention over [image; text]; out_proj on the joint output."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.in_proj = nn.Linear(dim, 3 * dim, bias=True)
+        self.out_proj = nn.Linear(dim, dim)
+
+    def _attend(self, tokens, key_mask=None):
+        B, N, C = tokens.shape
+        h = self.heads
+        qkv = self.in_proj(tokens).reshape(B, N, 3, h, C // h)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        if key_mask is not None:
+            attn = attn.masked_fill(
+                ~key_mask[:, None, None, :], float("-inf"))
+        attn = attn.softmax(-1)
+        return (attn @ v).transpose(1, 2).reshape(B, N, C)
+
+    def forward(self, x, q, q_mask, H, W):
+        B, N, C = x.shape
+        Nq = q.shape[1]
+        tokens = torch.cat([x, q], 1)
+        mask = None
+        if q_mask is not None:
+            mask = torch.cat([torch.ones(B, N, dtype=torch.bool),
+                              q_mask.bool()], 1)
+        out = self.out_proj(self._attend(tokens, mask))
+        return out[:, :N], out[:, N:]
+
+
+class WindowedJointAttentionT(JointAttentionT):
+    """Windowed variant: text replicated per window, averaged back."""
+
+    def __init__(self, dim, heads, window_size):
+        super().__init__(dim, heads)
+        self.ws = window_size
+
+    def forward(self, x, q, q_mask, H, W):
+        B, N, C = x.shape
+        Nq = q.shape[1]
+        ws = self.ws
+        H_ = math.ceil(H / ws) * ws
+        W_ = math.ceil(W / ws) * ws
+        xm = x.view(B, H, W, C)
+        xm = F.pad(xm, [0, 0, 0, W_ - W, 0, H_ - H])
+        xm = xm.view(B, H_ // ws, ws, W_ // ws, ws, C)
+        wnd = xm.permute(0, 1, 3, 2, 4, 5).reshape(B, -1, ws * ws, C)
+        L, Nw = wnd.shape[1], ws * ws
+        qx = q[:, None].expand(B, L, Nq, C)
+        tokens = torch.cat([wnd, qx], 2).reshape(B * L, Nw + Nq, C)
+        mask = None
+        if q_mask is not None:
+            mask = torch.cat([torch.ones(B, Nw, dtype=torch.bool),
+                              q_mask.bool()], 1)
+            mask = mask[:, None].expand(B, L, Nw + Nq).reshape(B * L, -1)
+        out = self._attend(tokens, mask).reshape(B, L, Nw + Nq, C)
+        img = out[:, :, :Nw].reshape(B, H_ // ws, W_ // ws, ws, ws, C)
+        img = img.permute(0, 1, 3, 2, 4, 5).reshape(B, H_, W_, C)
+        img = img[:, :H, :W].reshape(B, N, C)
+        txt = out[:, :, Nw:].mean(1)
+        return self.out_proj(img), self.out_proj(txt)
+
+
+class MultiModelBertLayerT(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0, windowed=False,
+                 window_size=14):
+        super().__init__()
+        if windowed:
+            self.self_attn = WindowedJointAttentionT(dim, heads, window_size)
+        else:
+            self.self_attn = JointAttentionT(dim, heads)
+        self.linear1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.linear2 = nn.Linear(int(dim * mlp_ratio), dim)
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.gamma_1 = nn.Parameter(torch.zeros(dim))
+        self.gamma_2 = nn.Parameter(torch.zeros(dim))
+
+    def forward(self, x, q, q_mask, H, W):
+        x_, q_ = self.self_attn(self.norm1(x), self.norm1(q), q_mask, H, W)
+        x = x + self.gamma_1 * x_
+        q = q + self.gamma_1 * q_
+        x_ = self.linear2(F.gelu(self.linear1(self.norm2(x))))
+        q_ = self.linear2(F.gelu(self.linear1(self.norm2(q))))
+        return x + self.gamma_2 * x_, q + self.gamma_2 * q_
+
+
+class VisualPatchEmbeddingT(nn.Module):
+    def __init__(self, dim, patch_size=16, pretrain_size=224):
+        super().__init__()
+        g = pretrain_size // patch_size
+        self.g = g
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch_size, patch_size)
+        self.patch_embed.spatial_pos_embed = nn.Embedding(g * g, dim)
+        self.patch_embed.temporal_pos_embed = nn.Embedding(8, dim)
+        self.embeddings_norm = nn.LayerNorm(dim)
+
+    def forward(self, x):
+        t = self.patch_embed.proj(x)
+        B, D, H, W = t.shape
+        t = t.reshape(B, D, H * W).transpose(1, 2)
+        pe = self.patch_embed.spatial_pos_embed.weight
+        pe = pe.reshape(1, self.g, self.g, D).permute(0, 3, 1, 2)
+        pe = F.interpolate(pe, size=(H, W), mode="bicubic",
+                           align_corners=False)
+        pe = pe.reshape(1, D, H * W).transpose(1, 2)
+        t = t + pe + self.patch_embed.temporal_pos_embed.weight[0]
+        return self.embeddings_norm(t), H, W
+
+
+class TokenBaseEmbeddingT(nn.Module):
+    def __init__(self, dim, vocab):
+        super().__init__()
+        self.embeddings = nn.Embedding(vocab, dim)
+        self.embeddings_pos = nn.Module()
+        self.embeddings_pos.position_embeddings = nn.Embedding(512, dim)
+        self.embeddings_token_type = nn.Embedding(2, dim)
+        self.embeddings_norm = nn.LayerNorm(dim)
+
+    def forward(self, ids):
+        e = self.embeddings(ids)
+        n = ids.shape[1]
+        e = e + self.embeddings_pos.position_embeddings.weight[:n]
+        e = e + self.embeddings_token_type.weight[0]
+        return self.embeddings_norm(e)
+
+
+class GroundingCrossAttentionT(nn.Module):
+    """norm1 SHARED across modalities (grounding_block.py:66)."""
+
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = nn.Module()
+        self.attn.kv = nn.Linear(dim, 2 * dim, bias=True)
+        self.attn.q = nn.Linear(dim, dim, bias=True)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+
+    def forward(self, x, r):
+        B, N, C = x.shape
+        M = r.shape[1]
+        h = self.heads
+        xn, rn = self.norm1(x), self.norm1(r)
+        kv = self.attn.kv(rn).reshape(B, M, 2, h, C // h).permute(2, 0, 3, 1, 4)
+        k, v = kv.unbind(0)
+        q = self.attn.q(xn).reshape(B, N, h, C // h).permute(0, 2, 1, 3)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(-1)
+        o = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        x = x + self.attn.proj(o)
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + y
+
+
+class UniPerceiverAdapterT(nn.Module):
+    """Full UniPerceiver-Adapter mini-reference (joint img/text trunk)."""
+
+    def __init__(self, dim=48, depth=4, heads=4, mlp_ratio=4.0, vocab=100,
+                 patch_size=16, pretrain_size=224, conv_inplane=16,
+                 deform_num_heads=4, n_points=4, deform_ratio=1.0,
+                 cffn_ratio=0.25, num_cross_attn=0,
+                 interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)),
+                 window_attn=False, window_size=14):
+        super().__init__()
+        self.patch_size = patch_size
+        self.interaction_indexes = interaction_indexes
+        wa = window_attn if isinstance(window_attn, (list, tuple)) \
+            else [window_attn] * depth
+        wsz = window_size if isinstance(window_size, (list, tuple)) \
+            else [window_size] * depth
+        self.layers = nn.ModuleList([
+            MultiModelBertLayerT(dim, heads, mlp_ratio, bool(wa[i]),
+                                 int(wsz[i] or 14))
+            for i in range(depth)])
+        self.visual_embed = VisualPatchEmbeddingT(dim, patch_size,
+                                                  pretrain_size)
+        self.token_embed = TokenBaseEmbeddingT(dim, vocab)
+        self.cross_attn = nn.ModuleList([
+            GroundingCrossAttentionT(dim, heads)
+            for _ in range(num_cross_attn)])
+        self.level_embed = nn.Parameter(torch.zeros(3, dim))
+        self.spm = SpatialPriorModuleT(conv_inplane, dim)
+        n_inter = len(interaction_indexes)
+        self.interactions = nn.ModuleList([
+            InteractionBlockT(dim, deform_num_heads, n_points, deform_ratio,
+                              True, cffn_ratio,
+                              extra_extractor=(i == n_inter - 1))
+            for i in range(n_inter)])
+        self.up = nn.ConvTranspose2d(dim, dim, 2, 2)
+        self.norm1 = nn.BatchNorm2d(dim)
+        self.norm2 = nn.BatchNorm2d(dim)
+        self.norm3 = nn.BatchNorm2d(dim)
+        self.norm4 = nn.BatchNorm2d(dim)
+
+    def forward(self, x, ids, q_mask=None):
+        B = x.shape[0]
+        h_img, w_img = x.shape[2], x.shape[3]
+        shapes3 = ((h_img // 8, w_img // 8), (h_img // 16, w_img // 16),
+                   (h_img // 32, w_img // 32))
+        shapes1 = (shapes3[1],)
+        inj_in = (reference_points_torch(shapes1), shapes3)
+        ext_in = (reference_points_torch(shapes3), shapes1)
+
+        c1, c2, c3, c4 = self.spm(x)
+        c2 = c2 + self.level_embed[0]
+        c3 = c3 + self.level_embed[1]
+        c4 = c4 + self.level_embed[2]
+        c = torch.cat([c2, c3, c4], 1)
+        n2, n3 = c2.shape[1], c3.shape[1]
+
+        t, H, W = self.visual_embed(x)
+        q = self.token_embed(ids)
+        D = t.shape[-1]
+
+        state = {"q": q}
+        for i, layer in enumerate(self.interactions):
+            a, b = self.interaction_indexes[i]
+
+            def blocks_fn(tokens, _a=a, _b=b):
+                for blk in self.layers[_a:_b + 1]:
+                    tokens, state["q"] = blk(tokens, state["q"], q_mask,
+                                             H, W)
+                return tokens
+
+            t, c = layer(t, c, blocks_fn, inj_in, ext_in, H, W)
+        q = state["q"]
+
+        for g in self.cross_attn:
+            t = g(t, q)
+
+        c2 = c[:, :n2].transpose(1, 2).reshape(B, D, H * 2, W * 2)
+        c3 = c[:, n2:n2 + n3].transpose(1, 2).reshape(B, D, H, W)
+        c4 = c[:, n2 + n3:].transpose(1, 2).reshape(B, D, H // 2, W // 2)
+        c1 = self.up(c2) + c1
+
+        x3 = t.transpose(1, 2).reshape(B, D, H, W)
+        up = lambda m, s: F.interpolate(m, scale_factor=s, mode="bilinear",
+                                        align_corners=False)
+        c1 = c1 + up(x3, 4)
+        c2 = c2 + up(x3, 2)
+        c3 = c3 + x3
+        c4 = c4 + up(x3, 0.5)
+        return [self.norm1(c1), self.norm2(c2), self.norm3(c3),
+                self.norm4(c4)]

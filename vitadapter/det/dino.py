@@ -69,16 +69,16 @@ class DinoDecoderLayer(nn.Module):
                                 name="self_attn")(
             q, q, query,
             attn_mask=None if self_attn_mask is None else self_attn_mask)
-        x = nn.LayerNorm(name="norm1")(query + sa)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(query + sa)
         ca = MSDeformAttn(d_model=d, n_levels=self.n_levels,
                           n_heads=self.num_heads, n_points=self.n_points,
                           dtype=self.dtype, name="cross_attn")(
             x + query_pos, reference_points, memory, spatial_shapes)
-        x = nn.LayerNorm(name="norm2")(x + ca)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ca)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
-        return nn.LayerNorm(name="norm3")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
 
 
 class DinoTransformer(nn.Module):
@@ -113,7 +113,7 @@ class DinoTransformer(nn.Module):
             for i in range(self.num_decoder_layers)
         ]
         self.enc_output = nn.Dense(C, dtype=self.dtype, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
         # shared prediction branches (one per decoder layer + encoder)
         n_pred = self.num_decoder_layers + 1
         self.cls_branches = [nn.Dense(self.num_classes, name=f"cls_branch_{i}")
@@ -130,7 +130,7 @@ class DinoTransformer(nn.Module):
         self.ref_point_head = [
             nn.Dense(C, dtype=self.dtype, name="ref_point_fc1"),
             nn.Dense(C, dtype=self.dtype, name="ref_point_fc2")]
-        self.memory_trans_norm = nn.LayerNorm(name="memory_trans_norm")
+        self.memory_trans_norm = nn.LayerNorm(epsilon=1e-5, name="memory_trans_norm")
 
     def _reg(self, i, x):
         for fc in self.reg_branches[i][:-1]:

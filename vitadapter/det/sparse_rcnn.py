@@ -43,12 +43,12 @@ class DynamicConv(nn.Module):
         p1 = params[:, :C * I].reshape(N, C, I)
         p2 = params[:, C * I:].reshape(N, I, C)
         x = jnp.einsum("nsc,nci->nsi", roi_feats, p1)
-        x = nn.relu(nn.LayerNorm(name="norm1")(x))
+        x = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
         x = jnp.einsum("nsi,nic->nsc", x, p2)
-        x = nn.relu(nn.LayerNorm(name="norm2")(x))
+        x = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         x = x.reshape(N, -1)
         x = nn.Dense(self.out_flat, dtype=self.dtype, name="fc_out")(x)
-        return nn.relu(nn.LayerNorm(name="norm3")(x))
+        return nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
 
 
 class DIIHead(nn.Module):
@@ -69,14 +69,14 @@ class DIIHead(nn.Module):
         x = prop_feats
         sa = MultiheadAttention(self.num_heads, dtype=self.dtype,
                                 name="self_attn")(x, x, x)
-        x = nn.LayerNorm(name="norm_attn")(x + sa)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_attn")(x + sa)
         dyn = DynamicConv(channels=C, out_flat=C, dtype=self.dtype,
                           name="dynamic_conv")
         inter = jax.vmap(dyn)(roi_feats, x)
-        x = nn.LayerNorm(name="norm_inter")(x + inter)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_inter")(x + inter)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.Dense(C, dtype=self.dtype, name="ffn_fc2")(nn.relu(y))
-        x = nn.LayerNorm(name="norm_ffn")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")(x + y)
         c = x
         for i in range(1):
             c = nn.relu(nn.Dense(C, dtype=self.dtype, name=f"cls_fc_{i}")(c))

@@ -73,15 +73,15 @@ class DecoderLayer(nn.Module):
         x = query + MultiheadAttention(self.num_heads, dtype=self.dtype,
                                        name="cross_attn")(
             query + query_pos, key + key_pos, key, attn_mask)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + MultiheadAttention(self.num_heads, dtype=self.dtype,
                                    name="self_attn")(
             x + query_pos, x + query_pos, x, None)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
-        x = nn.LayerNorm(name="norm3")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
         return x
 
 
@@ -121,7 +121,7 @@ class Mask2FormerHead(nn.Module):
                          dtype=self.dtype, name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]
-        self.post_norm = nn.LayerNorm(name="post_norm")
+        self.post_norm = nn.LayerNorm(epsilon=1e-5, name="post_norm")
         self.cls_embed = nn.Dense(self.num_classes + 1, name="cls_embed")
         self.mask_embed = [
             nn.Dense(C, dtype=self.dtype, name=f"mask_embed_{i}")

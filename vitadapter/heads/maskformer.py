@@ -70,12 +70,12 @@ class TransformerEncoderPixelDecoder(nn.Module):
             a = Attention(num_heads=self.num_heads, qkv_bias=True,
                           dtype=self.dtype, name=f"enc_attn_{i}")(
                 x + pos, H, W)
-            x = nn.LayerNorm(name=f"enc_norm1_{i}")(x + a)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm1_{i}")(x + a)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype,
                          name=f"enc_fc1_{i}")(x)
             y = nn.Dense(self.feat_channels, dtype=self.dtype,
                          name=f"enc_fc2_{i}")(nn.relu(y))
-            x = nn.LayerNorm(name=f"enc_norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm2_{i}")(x + y)
         memory = x.reshape(B, H, W, -1)
         y = ConvGN(self.feat_channels, kernel=3, act=True, dtype=self.dtype,
                    name="last_conv")(memory)
@@ -116,7 +116,7 @@ class MaskFormerHead(nn.Module):
                          dtype=self.dtype, name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]
-        self.post_norm = nn.LayerNorm(name="post_norm")
+        self.post_norm = nn.LayerNorm(epsilon=1e-5, name="post_norm")
         self.cls_embed = nn.Dense(self.num_classes + 1, name="cls_embed")
         self.mask_embed = [
             nn.Dense(C, dtype=self.dtype, name=f"mask_embed_{i}")

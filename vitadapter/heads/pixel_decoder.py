@@ -48,11 +48,11 @@ class DeformableEncoderLayer(nn.Module):
                             dtype=self.dtype, name="attn")(
                                 x + pos, ref_points, x, spatial_shapes,
                                 query_segments=segs)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
-        x = nn.LayerNorm(name="norm2")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
         return x
 
 

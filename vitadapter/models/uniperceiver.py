@@ -108,8 +108,8 @@ class MultiModelBertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, q, q_mask, H, W, deterministic: bool = True):
         C = x.shape[-1]
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         fc1 = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                        name="linear1")
         fc2 = nn.Dense(C, dtype=self.dtype, name="linear2")
@@ -152,7 +152,7 @@ class VisualPatchEmbedding(nn.Module):
         pe = resample_abs_pos_embed(spatial[None].astype(jnp.float32),
                                     (g, g), (H, W))
         y = y + pe.astype(y.dtype) + temporal[0].astype(y.dtype)
-        y = nn.LayerNorm(name="embeddings_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="embeddings_norm")(y)
         return y, H, W
 
 
@@ -172,7 +172,7 @@ class TokenBaseEmbedding(nn.Module):
                               (2, self.embed_dim), jnp.float32)
         n = ids.shape[1]
         emb = emb + pos[:n].astype(emb.dtype) + tok_type[0].astype(emb.dtype)
-        return nn.LayerNorm(name="embeddings_norm")(emb)
+        return nn.LayerNorm(epsilon=1e-5, name="embeddings_norm")(emb)
 
 
 class UnifiedBertEncoder(nn.Module):
@@ -245,8 +245,11 @@ class GroundingCrossAttention(nn.Module):
         C = x.shape[-1]
         h = self.num_heads
         Dh = C // h
-        xq = nn.LayerNorm(name="norm1")(x)
-        tk = nn.LayerNorm(name="norm_text")(text)
+        # the reference applies ONE shared norm1 to both modalities
+        # (`grounding_block.py:66`: attn(norm1(x), norm1(r)))
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        xq = norm1(x)
+        tk = norm1(text)
         qp = nn.Dense(C, dtype=self.dtype, name="q_proj")(xq)
         kp = nn.Dense(C, dtype=self.dtype, name="k_proj")(tk)
         vp = nn.Dense(C, dtype=self.dtype, name="v_proj")(tk)
@@ -266,6 +269,6 @@ class GroundingCrossAttention(nn.Module):
         att = att.transpose(0, 2, 1, 3).reshape(B, N, C)
         x = x + nn.Dense(C, dtype=self.dtype, name="out_proj")(att)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp_fc1")(nn.LayerNorm(name="norm2")(x))
+                     name="mlp_fc1")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(gelu(y))
         return x + y

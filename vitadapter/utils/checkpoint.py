@@ -225,9 +225,11 @@ def convert_adapter_keys(sd: Dict[str, Any], p: str, params: dict,
                 extractor(f"{src}.extra_extractors.{j}",
                           dst + (f"extra_extractors_{j}",))
 
-    conv2d(p + "up", ("up",), tf=conv_transpose)
+    if p + "up.weight" in sd:  # only when 0 in out_indices (uniperceiver)
+        conv2d(p + "up", ("up",), tf=conv_transpose)
     for n in (1, 2, 3, 4):
-        bn(f"{p}norm{n}", (f"norm{n}",))
+        if f"{p}norm{n}.weight" in sd:
+            bn(f"{p}norm{n}", (f"norm{n}",))
 
 
 def resample_rel_pos_table(table: np.ndarray, src_grid: int, dst_grid: int,
@@ -491,6 +493,94 @@ def convert_mask2former_head(sd: Dict[str, Any], prefix: str = "decode_head."):
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs, axis=0), *per_layer)
         _set(params, pp + ("encoder_layers",), {"layer": stacked})
+    return params, stats
+
+
+def convert_uniperceiver_backbone(sd: Dict[str, Any], prefix: str = ""):
+    """Convert a reference UniPerceiverAdapter state_dict subtree ->
+    (params, batch_stats).
+
+    Key scheme from reference `wsdm2023/mmdet_custom/models/backbones/base/
+    uniperceiver.py` (MultiModelBertLayer: self_attn.in_proj/out_proj,
+    linear1/linear2, norm1/norm2, gamma_1/gamma_2; VisualPatchEmbedding;
+    TokenBaseEmbedding) and `uniperceiver_adapter.py:101-160` (adapter keys,
+    optional GroundingCrossAttention stack). Run
+    `tools/convert_checkpoint.py --kind uniperceiver` first for official
+    Uni-Perceiver releases (`in_proj_weight` -> `in_proj.weight` etc.)."""
+    params: dict = {}
+    stats: dict = {}
+    p = prefix
+
+    def ln(src, dst):
+        _set(params, dst + ("scale",), _t(sd[src + ".weight"]))
+        _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def dense(src, dst):
+        _set(params, dst + ("kernel",), linear(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    # --- trunk ---
+    t = ("trunk",)
+    depth = 0
+    while f"{p}layers.{depth}.norm1.weight" in sd:
+        depth += 1
+    for i in range(depth):
+        src = f"{p}layers.{i}"
+        dst = t + (f"layers_{i}",)
+        dense(src + ".self_attn.in_proj", dst + ("self_attn", "in_proj"))
+        dense(src + ".self_attn.out_proj", dst + ("self_attn", "out_proj"))
+        dense(src + ".linear1", dst + ("linear1",))
+        dense(src + ".linear2", dst + ("linear2",))
+        ln(src + ".norm1", dst + ("norm1",))
+        ln(src + ".norm2", dst + ("norm2",))
+        _set(params, dst + ("gamma_1",), _t(sd[src + ".gamma_1"]))
+        _set(params, dst + ("gamma_2",), _t(sd[src + ".gamma_2"]))
+
+    ve = p + "visual_embed."
+    _set(params, t + ("visual_embed", "proj", "kernel"),
+         conv(sd[ve + "patch_embed.proj.weight"]))
+    _set(params, t + ("visual_embed", "proj", "bias"),
+         _t(sd[ve + "patch_embed.proj.bias"]))
+    _set(params, t + ("visual_embed", "spatial_pos_embed"),
+         _t(sd[ve + "patch_embed.spatial_pos_embed.weight"]))
+    _set(params, t + ("visual_embed", "temporal_pos_embed"),
+         _t(sd[ve + "patch_embed.temporal_pos_embed.weight"]))
+    ln(ve + "embeddings_norm", t + ("visual_embed", "embeddings_norm"))
+
+    te = p + "token_embed."
+    _set(params, t + ("token_embed", "embeddings", "embedding"),
+         _t(sd[te + "embeddings.weight"]))
+    _set(params, t + ("token_embed", "pos_embed"),
+         _t(sd[te + "embeddings_pos.position_embeddings.weight"]))
+    _set(params, t + ("token_embed", "token_type"),
+         _t(sd[te + "embeddings_token_type.weight"]))
+    ln(te + "embeddings_norm", t + ("token_embed", "embeddings_norm"))
+
+    # --- grounding cross-attention stack (optional) ---
+    g = 0
+    while f"{p}cross_attn.{g}.norm1.weight" in sd:
+        src = f"{p}cross_attn.{g}"
+        dst = (f"grounding_{g}",)
+        ln(src + ".norm1", dst + ("norm1",))
+        ln(src + ".norm2", dst + ("norm2",))
+        # fused kv Linear -> split k/v projections
+        kvw = linear(sd[src + ".attn.kv.weight"])          # (C, 2C)
+        C = kvw.shape[0]
+        _set(params, dst + ("k_proj", "kernel"), kvw[:, :C])
+        _set(params, dst + ("v_proj", "kernel"), kvw[:, C:])
+        if src + ".attn.kv.bias" in sd:
+            kvb = _t(sd[src + ".attn.kv.bias"])
+            _set(params, dst + ("k_proj", "bias"), kvb[:C])
+            _set(params, dst + ("v_proj", "bias"), kvb[C:])
+        dense(src + ".attn.q", dst + ("q_proj",))
+        dense(src + ".attn.proj", dst + ("out_proj",))
+        dense(src + ".mlp.fc1", dst + ("mlp_fc1",))
+        dense(src + ".mlp.fc2", dst + ("mlp_fc2",))
+        g += 1
+
+    # --- adapter ---
+    convert_adapter_keys(sd, p, params, stats)
     return params, stats
 
 
