@@ -322,3 +322,51 @@ def test_uniperceiver_adapter_full_parity():
     feats = jax.jit(fm.apply)(
         {"params": params, "batch_stats": stats}, x_np, ids_np)
     check_pyramid(feats, ref)
+
+
+def test_dino_transformer_full_parity():
+    """DINO two-stage deformable transformer: encoder, proposal generation
+    with the (0.01, 0.99) validity masking, top-k query init, and the
+    look-forward-twice decoder (normed prediction branches, y-first sine
+    query pos): torch mini-reference -> convert_dino_head -> flax, all
+    per-layer cls/box outputs and encoder outputs match."""
+    from vitadapter.det.dino import DinoTransformer
+    from vitadapter.utils.checkpoint import convert_dino_head
+
+    from torch_ref import DinoTransformerT
+
+    C, K, Q = 48, 5, 12
+    tm = DinoTransformerT(C=C, heads=4, num_enc=2, num_dec=3, ffn_dim=96,
+                          num_queries=Q, num_classes=K)
+    randomize(tm, 41)
+    tm.eval()
+    rng = np.random.RandomState(17)
+    feats_np = [rng.randn(2, r, r, C).astype(np.float32)
+                for r in (8, 4, 2, 1)]
+    with torch.no_grad():
+        ref = tm([torch.from_numpy(f.transpose(0, 3, 1, 2))
+                  for f in feats_np])
+
+    sd = {"bbox_head." + k: v for k, v in tm.state_dict().items()}
+    params = convert_dino_head(sd)
+    fm = DinoTransformer(embed_dim=C, num_heads=4, num_encoder_layers=2,
+                         num_decoder_layers=3, ffn_dim=96, num_queries=Q,
+                         num_classes=K)
+    feats = [np.asarray(f) for f in feats_np]
+    init = jax.jit(fm.init)(jax.random.PRNGKey(0),
+                            [f[:1] for f in feats])
+    assert_full_coverage(params, init["params"])
+    out = jax.jit(fm.apply)({"params": params}, feats)
+
+    np.testing.assert_allclose(np.asarray(out["enc_cls"]),
+                               ref["enc_cls"].numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["enc_boxes"]),
+                               ref["enc_boxes"].numpy(), rtol=2e-4,
+                               atol=2e-4)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out["cls"][i]), ref["cls"][i].numpy(),
+            rtol=2e-4, atol=3e-4, err_msg=f"cls layer {i}")
+        np.testing.assert_allclose(
+            np.asarray(out["boxes"][i]), ref["boxes"][i].numpy(),
+            rtol=2e-4, atol=3e-4, err_msg=f"boxes layer {i}")

@@ -69,10 +69,15 @@ class MSDeformAttnT(nn.Module):
         off = self.sampling_offsets(query).view(B, Lq, M, L, P, 2)
         w = self.attention_weights(query).view(B, Lq, M, L * P)
         w = F.softmax(w, -1).view(B, Lq, M, L, P)
-        normalizer = torch.tensor([[wd, ht] for ht, wd in spatial_shapes],
-                                  dtype=torch.float32)
-        loc = (reference_points[:, :, None, :, None, :]
-               + off / normalizer[None, None, None, :, None, :])
+        if reference_points.shape[-1] == 4:
+            loc = (reference_points[:, :, None, :, None, :2]
+                   + off / P * reference_points[:, :, None, :, None, 2:]
+                   * 0.5)
+        else:
+            normalizer = torch.tensor([[wd, ht] for ht, wd in spatial_shapes],
+                                      dtype=torch.float32)
+            loc = (reference_points[:, :, None, :, None, :]
+                   + off / normalizer[None, None, None, :, None, :])
         return self.output_proj(msda_core_torch(value, spatial_shapes, loc, w))
 
 
@@ -1094,3 +1099,155 @@ class UniPerceiverAdapterT(nn.Module):
         c4 = c4 + up(x3, 0.5)
         return [self.norm1(c1), self.norm2(c2), self.norm3(c3),
                 self.norm4(c4)]
+
+
+# ---------------------------------------------------------------------------
+# DINO two-stage deformable transformer (+ per-layer prediction branches)
+# Mini-reference of `wsdm2023/mmdet_custom/models/utils/transformer.py`
+# (DinoTransformer / DinoTransformerDecoder) + the branch layout of
+# `dense_heads/dino_head.py`, mmdet key scheme under `bbox_head.`.
+# ---------------------------------------------------------------------------
+
+class DinoDecoderLayerT(nn.Module):
+    """self_attn, norm, deformable cross_attn, norm, ffn, norm."""
+
+    def __init__(self, C, heads, ffn_dim, n_levels=4, n_points=4):
+        super().__init__()
+        self.attentions = nn.ModuleList(
+            [MHAWrapT(C, heads),
+             MSDeformAttnT(C, n_levels, heads, n_points)])
+        self.norms = nn.ModuleList([nn.LayerNorm(C) for _ in range(3)])
+        self.ffns = nn.ModuleList([FFNT2(C, ffn_dim)])
+
+    def forward(self, q, qpos, memory, shapes, refs, attn_mask=None):
+        a, _ = self.attentions[0].attn(q + qpos, q + qpos, q,
+                                       attn_mask=attn_mask)
+        x = self.norms[0](q + a)
+        ca = self.attentions[1](x + qpos, refs, memory, shapes)
+        x = self.norms[1](x + ca)
+        y = self.ffns[0].layers(x)
+        return self.norms[2](x + y)
+
+
+def sine_embed_yx_torch(coords, num_feats):
+    """gen_sineembed_for_position: blocks in (y, x, w, h) order."""
+    scale = 2 * math.pi
+    dim_t = torch.arange(num_feats, dtype=torch.float32)
+    dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode="floor")
+                        / num_feats)
+
+    def one(v):
+        p = v[..., None] * scale / dim_t
+        return torch.stack([p[..., 0::2].sin(), p[..., 1::2].cos()],
+                           -1).flatten(-2)
+
+    blocks = [one(coords[..., 1]), one(coords[..., 0])]
+    if coords.shape[-1] == 4:
+        blocks += [one(coords[..., 2]), one(coords[..., 3])]
+    return torch.cat(blocks, -1)
+
+
+class DinoTransformerT(nn.Module):
+    def __init__(self, C=48, heads=4, num_enc=2, num_dec=3, n_points=4,
+                 ffn_dim=96, num_queries=12, num_classes=5):
+        super().__init__()
+        self.C, self.heads = C, heads
+        self.num_queries = num_queries
+        self.num_dec = num_dec
+        self.transformer = nn.Module()
+        tr = self.transformer
+        tr.level_embeds = nn.Parameter(torch.zeros(4, C))
+        tr.enc_output = nn.Linear(C, C)
+        tr.enc_output_norm = nn.LayerNorm(C)
+        tr.query_embed = nn.Embedding(num_queries, C)
+        tr.encoder = nn.Module()
+        tr.encoder.layers = nn.ModuleList(
+            [DeformableEncoderLayerT(C, heads, 4, n_points, ffn_dim)
+             for _ in range(num_enc)])
+        tr.decoder = nn.Module()
+        tr.decoder.layers = nn.ModuleList(
+            [DinoDecoderLayerT(C, heads, ffn_dim, 4, n_points)
+             for _ in range(num_dec)])
+        tr.decoder.norm = nn.LayerNorm(C)
+        tr.decoder.ref_point_head = nn.Sequential(
+            nn.Linear(2 * C, C), nn.ReLU(), nn.Linear(C, C))
+        self.cls_branches = nn.ModuleList(
+            [nn.Linear(C, num_classes) for _ in range(num_dec + 1)])
+        self.reg_branches = nn.ModuleList([
+            nn.Sequential(nn.Linear(C, C), nn.ReLU(), nn.Linear(C, C),
+                          nn.ReLU(), nn.Linear(C, 4))
+            for _ in range(num_dec + 1)])
+
+    def forward(self, feats, dn_queries=None, dn_refs=None,
+                dn_attn_mask=None):
+        tr = self.transformer
+        C = self.C
+        B = feats[0].shape[0]
+        toks, poss, shapes, refs_l, props_l = [], [], [], [], []
+        for i, f in enumerate(feats):
+            H, W = f.shape[2], f.shape[3]
+            toks.append(f.flatten(2).transpose(1, 2))
+            p = sine_pos_torch((H, W), C // 2).reshape(1, H * W, C)
+            poss.append(p + tr.level_embeds[i])
+            shapes.append((H, W))
+            ys = (torch.arange(H, dtype=torch.float32) + 0.5) / H
+            xs = (torch.arange(W, dtype=torch.float32) + 0.5) / W
+            yy, xx = torch.meshgrid(ys, xs, indexing="ij")
+            grid = torch.stack([xx.reshape(-1), yy.reshape(-1)], -1)
+            refs_l.append(grid)
+            wh = torch.full_like(grid, 0.05 * (2.0 ** i))
+            props_l.append(torch.cat([grid, wh], -1))
+        memory = torch.cat(toks, 1)
+        pos = torch.cat(poss, 1).expand(B, -1, -1)
+        ref = torch.cat(refs_l, 0)[None, :, None, :].expand(B, -1, 4, -1)
+        for layer in tr.encoder.layers:
+            memory = layer(memory, pos, ref, shapes)
+
+        props = torch.cat(props_l, 0)[None]
+        valid = ((props > 0.01) & (props < 0.99)).all(-1, keepdim=True)
+        props_unact = torch.log(props / (1 - props)).masked_fill(
+            ~valid, float("inf"))
+        mem_in = memory.masked_fill(~valid, 0.0)
+        out_memory = tr.enc_output_norm(tr.enc_output(mem_in))
+        enc_cls = self.cls_branches[-1](out_memory)
+        enc_delta = self.reg_branches[-1](out_memory)
+        enc_boxes = (enc_delta + props_unact).sigmoid()
+        top_idx = enc_cls.max(-1)[0].topk(self.num_queries, dim=1)[1]
+        refs = torch.gather(enc_boxes, 1,
+                            top_idx[..., None].expand(-1, -1, 4)).detach()
+        enc_cls_top = torch.gather(
+            enc_cls, 1, top_idx[..., None].expand(-1, -1,
+                                                  enc_cls.shape[-1]))
+        enc_box_top = torch.gather(enc_boxes, 1,
+                                   top_idx[..., None].expand(-1, -1, 4))
+
+        query = tr.query_embed.weight[None].expand(B, -1, -1)
+        attn_mask = None
+        if dn_queries is not None:
+            query = torch.cat([dn_queries, query], 1)
+            refs = torch.cat([dn_refs, refs], 1)
+            n = refs.shape[1]
+            attn_mask = dn_attn_mask[None].expand(
+                B * self.heads, n, n) if dn_attn_mask is not None else None
+
+        def inv_sig(x):
+            x = x.clamp(1e-3, 1 - 1e-3)
+            return torch.log(x / (1 - x))
+
+        cls_list, box_list = [], []
+        base = refs
+        for i, layer in enumerate(tr.decoder.layers):
+            emb = sine_embed_yx_torch(refs, C // 2)
+            qpos = tr.decoder.ref_point_head(emb)
+            query = layer(query, qpos, memory, shapes,
+                          refs[:, :, None, :].expand(-1, -1, 4, -1),
+                          attn_mask)
+            normed = tr.decoder.norm(query)
+            cls_list.append(self.cls_branches[i](normed))
+            box_list.append(
+                (self.reg_branches[i](normed) + inv_sig(base)).sigmoid())
+            new_refs = (self.reg_branches[i](query) + inv_sig(refs)).sigmoid()
+            base = new_refs
+            refs = new_refs.detach()
+        return {"cls": cls_list, "boxes": box_list,
+                "enc_cls": enc_cls_top, "enc_boxes": enc_box_top}

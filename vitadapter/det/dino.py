@@ -130,7 +130,11 @@ class DinoTransformer(nn.Module):
         self.ref_point_head = [
             nn.Dense(C, dtype=self.dtype, name="ref_point_fc1"),
             nn.Dense(C, dtype=self.dtype, name="ref_point_fc2")]
-        self.memory_trans_norm = nn.LayerNorm(epsilon=1e-5, name="memory_trans_norm")
+        # final decoder norm: reference DinoTransformerDecoder.norm — the
+        # head's cls/reg predictions run on NORMED layer outputs while the
+        # internal box refinement runs on the raw outputs (`transformer.py:
+        # 43,131`)
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
 
     def _reg(self, i, x):
         for fc in self.reg_branches[i][:-1]:
@@ -138,8 +142,12 @@ class DinoTransformer(nn.Module):
         return self.reg_branches[i][-1](x).astype(jnp.float32)
 
     def _query_pos(self, refs):
-        """4-d reference -> positional query via sine embed + MLP."""
-        emb = sine_embed_coords(refs, self.embed_dim // 2)
+        """4-d reference -> positional query via sine embed + MLP.
+
+        The reference embeds blocks in (y, x, w, h) order
+        (`gen_sineembed_for_position`, `transformer.py:46-80`)."""
+        emb = sine_embed_coords(refs[..., jnp.array([1, 0, 2, 3])],
+                                self.embed_dim // 2)
         x = nn.relu(self.ref_point_head[0](emb.astype(self.dtype)))
         return self.ref_point_head[1](x)
 
@@ -174,12 +182,19 @@ class DinoTransformer(nn.Module):
         for layer in self.encoder_layers:
             memory = layer(memory, pos_all, ref, spatial_shapes)
 
-        # --- two-stage proposal generation (gen_encoder_output_proposals) ---
+        # --- two-stage proposal generation (gen_encoder_output_proposals,
+        # reference `transformer.py:688-753`): proposals in inverse-sigmoid
+        # space; positions whose proposal leaves (0.01, 0.99) on any coord
+        # are masked to +inf and their memory zeroed before enc_output ---
         props = jnp.concatenate(proposals, axis=0)[None]  # (1, S, 4)
-        out_memory = self.enc_output_norm(self.enc_output(memory))
+        valid = jnp.all((props > 0.01) & (props < 0.99), axis=-1,
+                        keepdims=True)  # trace-time constant
+        props_unact = jnp.where(valid, jnp.log(props / (1 - props)), jnp.inf)
+        mem_in = jnp.where(valid, memory, 0)
+        out_memory = self.enc_output_norm(self.enc_output(mem_in))
         enc_cls = self.cls_branches[-1](out_memory).astype(jnp.float32)
         enc_delta = self._reg(self.num_decoder_layers, out_memory)
-        enc_boxes = jax.nn.sigmoid(enc_delta + inverse_sigmoid(props))
+        enc_boxes = jax.nn.sigmoid(enc_delta + props_unact)
         top_scores = enc_cls.max(-1)  # (B, S)
         _, top_idx = jax.lax.top_k(top_scores, self.num_queries)
         refs = jnp.take_along_axis(enc_boxes, top_idx[..., None], axis=1)
@@ -198,15 +213,25 @@ class DinoTransformer(nn.Module):
             attn_mask = jnp.broadcast_to(
                 attn_mask[None, None], (B, self.num_heads) + attn_mask.shape)
 
+        # decoder: predictions run on NORMED outputs with look-forward-twice
+        # reference bases (layer i's head base = refs entering layer i;
+        # un-detached for i >= 1 so the box grad reaches layer i-1's
+        # refinement — reference `transformer.py:125-136`,
+        # `dino_head.py:111-124`); the internal sampling refinement runs on
+        # the RAW outputs and is detached for the next layer.
         cls_list, box_list = [], []
+        base = refs
         for i, layer in enumerate(self.decoder_layers):
             qpos = self._query_pos(refs)
             query = layer(query, qpos, memory, spatial_shapes, refs[:, :, None, :]
                           * jnp.ones((1, 1, 4, 1)), self_attn_mask=attn_mask)
-            delta = self._reg(i, query)
-            new_refs = jax.nn.sigmoid(delta + inverse_sigmoid(refs))
-            cls_list.append(self.cls_branches[i](query).astype(jnp.float32))
-            box_list.append(new_refs)
+            normed = self.decoder_norm(query)
+            cls_list.append(self.cls_branches[i](normed).astype(jnp.float32))
+            box_list.append(jax.nn.sigmoid(
+                self._reg(i, normed) + inverse_sigmoid(base, eps=1e-3)))
+            new_refs = jax.nn.sigmoid(
+                self._reg(i, query) + inverse_sigmoid(refs, eps=1e-3))
+            base = new_refs
             refs = jax.lax.stop_gradient(new_refs)
 
         return {"cls": cls_list, "boxes": box_list,
@@ -258,9 +283,11 @@ def cdn_queries(rng: jax.Array, gt_labels: jax.Array, gt_boxes: jax.Array,
     noisy = cxcywh_to_xyxy(boxes) + sign * mag * diff * box_noise
     noisy = jnp.clip(noisy, 0.0, 1.0)
     noisy_boxes = xyxy_to_cxcywh(noisy)
-    # independent corner jitter can invert a box; keep extents non-negative
-    noisy_boxes = jnp.concatenate(
-        [noisy_boxes[..., :2], jnp.abs(noisy_boxes[..., 2:])], -1)
+    # independent corner jitter can invert a box (negative extent); the
+    # reference feeds it through inverse_sigmoid(eps=1e-3) + sigmoid, which
+    # is a clamp to [1e-3, 1-1e-3] (`query_denoising.py:156-162`,
+    # `transformer.py:258-259`)
+    noisy_boxes = jnp.clip(noisy_boxes, 1e-3, 1 - 1e-3)
 
     queries = label_embed[noisy_labels]
 

@@ -496,6 +496,77 @@ def convert_mask2former_head(sd: Dict[str, Any], prefix: str = "decode_head."):
     return params, stats
 
 
+def convert_dino_head(sd: Dict[str, Any], prefix: str = "bbox_head."):
+    """Convert a reference DINOHead subtree (mmdet key scheme:
+    `bbox_head.transformer.{encoder,decoder,enc_output,query_embed}`,
+    `bbox_head.{cls,reg}_branches`) -> flax `det.dino.DinoTransformer`
+    params. Reference `wsdm2023/mmdet_custom/models/utils/transformer.py:30,
+    145` + `dense_heads/dino_head.py:16`."""
+    params: dict = {}
+    p = prefix
+    tr = p + "transformer."
+
+    def ln(src, dst):
+        _set(params, dst + ("scale",), _t(sd[src + ".weight"]))
+        _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def dense(src, dst):
+        _set(params, dst + ("kernel",), linear(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def mha(src, dst):
+        w = _t(sd[src + ".attn.in_proj_weight"])
+        b = _t(sd[src + ".attn.in_proj_bias"])
+        C = w.shape[1]
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(params, dst + (name, "kernel"), w[i * C:(i + 1) * C].T)
+            _set(params, dst + (name, "bias"), b[i * C:(i + 1) * C])
+        dense(src + ".attn.out_proj", dst + ("out_proj",))
+
+    def msda(src, dst):
+        for name in ("sampling_offsets", "attention_weights", "value_proj",
+                     "output_proj"):
+            dense(f"{src}.{name}", dst + (name,))
+
+    _set(params, ("level_embed",), _t(sd[tr + "level_embeds"]))
+    dense(tr + "enc_output", ("enc_output",))
+    ln(tr + "enc_output_norm", ("enc_output_norm",))
+    _set(params, ("query_embed",), _t(sd[tr + "query_embed.weight"]))
+    ln(tr + "decoder.norm", ("decoder_norm",))
+    dense(tr + "decoder.ref_point_head.0", ("ref_point_fc1",))
+    dense(tr + "decoder.ref_point_head.2", ("ref_point_fc2",))
+
+    i = 0
+    while f"{tr}encoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{tr}encoder.layers.{i}"
+        dst = (f"encoder_layer_{i}",)
+        msda(src + ".attentions.0", dst + ("attn",))
+        ln(src + ".norms.0", dst + ("norm1",))
+        ln(src + ".norms.1", dst + ("norm2",))
+        dense(src + ".ffns.0.layers.0.0", dst + ("ffn_fc1",))
+        dense(src + ".ffns.0.layers.1", dst + ("ffn_fc2",))
+        i += 1
+    n_dec = 0
+    while f"{tr}decoder.layers.{n_dec}.norms.0.weight" in sd:
+        src = f"{tr}decoder.layers.{n_dec}"
+        dst = (f"decoder_layer_{n_dec}",)
+        mha(src + ".attentions.0", dst + ("self_attn",))
+        msda(src + ".attentions.1", dst + ("cross_attn",))
+        for j in (0, 1, 2):
+            ln(f"{src}.norms.{j}", dst + (f"norm{j + 1}",))
+        dense(src + ".ffns.0.layers.0.0", dst + ("ffn_fc1",))
+        dense(src + ".ffns.0.layers.1", dst + ("ffn_fc2",))
+        n_dec += 1
+    for i in range(n_dec + 1):
+        dense(f"{p}cls_branches.{i}", (f"cls_branch_{i}",))
+        for j, t_idx in ((0, 0), (1, 2)):
+            dense(f"{p}reg_branches.{i}.{t_idx}",
+                  (f"reg_branch_{i}_fc{j}",))
+        dense(f"{p}reg_branches.{i}.4", (f"reg_branch_{i}_out",))
+    return params
+
+
 def convert_uniperceiver_backbone(sd: Dict[str, Any], prefix: str = ""):
     """Convert a reference UniPerceiverAdapter state_dict subtree ->
     (params, batch_stats).
