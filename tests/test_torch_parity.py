@@ -370,3 +370,95 @@ def test_dino_transformer_full_parity():
         np.testing.assert_allclose(
             np.asarray(out["boxes"][i]), ref["boxes"][i].numpy(),
             rtol=2e-4, atol=3e-4, err_msg=f"boxes layer {i}")
+
+
+def test_upernet_fcn_heads_full_parity():
+    """UperNet decode head (PSP pyramid with torch AdaptiveAvgPool2d
+    semantics, FPN top-down fusion) + FCN auxiliary head: torch
+    mini-reference -> convert_upernet_heads -> flax logits parity."""
+    from vitadapter.heads.upernet import FCNHead, UPerHead
+    from vitadapter.utils.checkpoint import convert_upernet_heads
+
+    from torch_ref import FCNHeadT, UPerHeadT
+
+    Cin, ch, K = 48, 32, 7
+    tu = UPerHeadT(Cin, ch, K)
+    tf = FCNHeadT(Cin, 24, K)
+    randomize(tu, 51)
+    randomize(tf, 52)
+    tu.eval()
+    tf.eval()
+    rng = np.random.RandomState(19)
+    feats_np = [rng.randn(2, r, r, Cin).astype(np.float32)
+                for r in (16, 8, 4, 2)]
+    feats_t = [torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats_np]
+    with torch.no_grad():
+        ref_main = tu(feats_t)
+        ref_aux = tf(feats_t[2])
+
+    sd = {"decode_head." + k: v for k, v in tu.state_dict().items()}
+    sd.update({"auxiliary_head." + k: v for k, v in tf.state_dict().items()})
+    params, stats = convert_upernet_heads(sd)
+
+    fu = UPerHead(num_classes=K, channels=ch)
+    ff = FCNHead(num_classes=K, channels=24)
+    feats = [np.asarray(f) for f in feats_np]
+    init_u = jax.jit(fu.init)(jax.random.PRNGKey(0), feats)
+    assert_full_coverage(params["decode_head"], init_u["params"])
+    assert_full_coverage(stats["decode_head"], init_u["batch_stats"])
+    out_main = jax.jit(fu.apply)(
+        {"params": params["decode_head"],
+         "batch_stats": stats["decode_head"]}, feats)
+    init_f = jax.jit(ff.init)(jax.random.PRNGKey(0), feats[2])
+    assert_full_coverage(params["auxiliary_head"], init_f["params"])
+    out_aux = jax.jit(ff.apply)(
+        {"params": params["auxiliary_head"],
+         "batch_stats": stats["auxiliary_head"]}, feats[2])
+
+    np.testing.assert_allclose(
+        np.asarray(out_main), ref_main.numpy().transpose(0, 2, 3, 1),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_aux), ref_aux.numpy().transpose(0, 2, 3, 1),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_maskformer_head_full_parity():
+    """MaskFormer head (TransformerEncoder pixel decoder with nearest-mode
+    FPN, self-attention-first DETR decoder): torch mini-reference ->
+    convert_maskformer_head -> flax, all per-layer cls/mask outputs match."""
+    from vitadapter.heads.maskformer import MaskFormerHead
+    from vitadapter.utils.checkpoint import convert_maskformer_head
+
+    from torch_ref import MaskFormerHeadT
+
+    C, Q, K = 64, 5, 7
+    tm = MaskFormerHeadT([C, C, C, C], C, num_classes=K, num_queries=Q,
+                         num_dec=3, heads=4, dec_ffn=96, enc_layers=2,
+                         enc_ffn=96)
+    randomize(tm, 61)
+    tm.eval()
+    rng = np.random.RandomState(23)
+    feats_np = [rng.randn(2, r, r, C).astype(np.float32)
+                for r in (16, 8, 4, 2)]
+    with torch.no_grad():
+        cls_t, mask_t = tm([torch.from_numpy(f.transpose(0, 3, 1, 2))
+                            for f in feats_np])
+
+    sd = {"decode_head." + k: v for k, v in tm.state_dict().items()}
+    params = convert_maskformer_head(sd)
+    fm = MaskFormerHead(num_classes=K, num_queries=Q, feat_channels=C,
+                        out_channels=C, num_decoder_layers=3, num_heads=4,
+                        decoder_ffn_dim=96, use_encoder_decoder=True,
+                        pixel_encoder_layers=2, pixel_encoder_ffn_dim=96)
+    feats = [np.asarray(f) for f in feats_np]
+    init = jax.jit(fm.init)(jax.random.PRNGKey(0), feats)
+    assert_full_coverage(params, init["params"])
+    cls_j, mask_j = jax.jit(fm.apply)({"params": params}, feats)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(cls_j[i]), cls_t[i].numpy(), rtol=2e-4, atol=2e-4,
+            err_msg=f"cls layer {i}")
+        np.testing.assert_allclose(
+            np.asarray(mask_j[i]), mask_t[i].numpy(), rtol=2e-4, atol=3e-4,
+            err_msg=f"mask layer {i}")

@@ -1251,3 +1251,187 @@ class DinoTransformerT(nn.Module):
             refs = new_refs.detach()
         return {"cls": cls_list, "boxes": box_list,
                 "enc_cls": enc_cls_top, "enc_boxes": enc_box_top}
+
+
+# ---------------------------------------------------------------------------
+# UperNet decode head + FCN auxiliary head (mmseg key scheme consumed by
+# `convert_upernet_heads`). Mini-reference of upstream mmseg UPerHead as
+# configured by the reference (`segmentation/configs/_base_/models/
+# upernet_r50.py`: pool_scales (1,2,3,6), align_corners=False,
+# concat_input=False aux).
+# ---------------------------------------------------------------------------
+
+class ConvBNT(nn.Module):
+    def __init__(self, cin, cout, kernel):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, kernel, padding=kernel // 2,
+                              bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class UPerHeadT(nn.Module):
+    def __init__(self, in_channels, channels, num_classes,
+                 pool_scales=(1, 2, 3, 6)):
+        super().__init__()
+        self.pool_scales = pool_scales
+        cin = in_channels
+        self.psp_modules = nn.ModuleList([
+            nn.Sequential(nn.AdaptiveAvgPool2d(s), ConvBNT(cin, channels, 1))
+            for s in pool_scales])
+        self.bottleneck = ConvBNT(cin + len(pool_scales) * channels,
+                                  channels, 3)
+        self.lateral_convs = nn.ModuleList(
+            [ConvBNT(cin, channels, 1) for _ in range(3)])
+        self.fpn_convs = nn.ModuleList(
+            [ConvBNT(channels, channels, 3) for _ in range(3)])
+        self.fpn_bottleneck = ConvBNT(4 * channels, channels, 3)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, feats):
+        x = feats[-1]
+        size = x.shape[2:]
+        psp = [x] + [
+            F.interpolate(m(x), size=size, mode="bilinear",
+                          align_corners=False) for m in self.psp_modules]
+        psp = self.bottleneck(torch.cat(psp, 1))
+        laterals = [conv(feats[i])
+                    for i, conv in enumerate(self.lateral_convs)] + [psp]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + F.interpolate(
+                laterals[i], size=laterals[i - 1].shape[2:], mode="bilinear",
+                align_corners=False)
+        outs = [self.fpn_convs[i](laterals[i]) for i in range(3)]
+        outs.append(laterals[-1])
+        outs = [outs[0]] + [
+            F.interpolate(o, size=outs[0].shape[2:], mode="bilinear",
+                          align_corners=False) for o in outs[1:]]
+        x = self.fpn_bottleneck(torch.cat(outs, 1))
+        return self.conv_seg(x)
+
+
+class FCNHeadT(nn.Module):
+    def __init__(self, in_channels, channels, num_classes, num_convs=1):
+        super().__init__()
+        convs = [ConvBNT(in_channels if i == 0 else channels, channels, 3)
+                 for i in range(num_convs)]
+        self.convs = nn.ModuleList(convs)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, x):
+        for c in self.convs:
+            x = c(x)
+        return self.conv_seg(x)
+
+
+# ---------------------------------------------------------------------------
+# MaskFormer head + plain/encoder pixel decoders (mmseg key scheme consumed
+# by `convert_maskformer_head`). Reference `decode_heads/maskformer_head.py`
+# + `plugins/pixel_decoder.py` — DETR decoder with SELF-attention first and
+# nearest-mode FPN top-down interpolation.
+# ---------------------------------------------------------------------------
+
+class MaskFormerDecoderLayerT(nn.Module):
+    def __init__(self, C, heads, ffn_dim):
+        super().__init__()
+        self.attentions = nn.ModuleList(
+            [MHAWrapT(C, heads), MHAWrapT(C, heads)])
+        self.norms = nn.ModuleList([nn.LayerNorm(C) for _ in range(3)])
+        self.ffns = nn.ModuleList([FFNT2(C, ffn_dim)])
+
+    def forward(self, q, qpos, k, kpos):
+        a, _ = self.attentions[0].attn(q + qpos, q + qpos, q)
+        x = self.norms[0](q + a)
+        a, _ = self.attentions[1].attn(x + qpos, k + kpos, k)
+        x = self.norms[1](x + a)
+        y = self.ffns[0].layers(x)
+        return self.norms[2](x + y)
+
+
+class TransformerEncoderPixelDecoderT(nn.Module):
+    def __init__(self, in_channels, C, num_layers=6, heads=8, ffn_dim=2048):
+        super().__init__()
+        n = len(in_channels)
+        self.lateral_convs = nn.ModuleList(
+            [ConvGNT(in_channels[i], C, 1) for i in range(n - 1)])
+        self.output_convs = nn.ModuleList(
+            [ConvGNT(C, C, 3, act=True) for _ in range(n - 1)])
+        self.encoder_in_proj = nn.Conv2d(in_channels[-1], C, 1)
+        self.encoder_out_proj = ConvGNT(C, C, 3, act=True)
+        self.encoder = nn.Module()
+        self.encoder.layers = nn.ModuleList([
+            _EncLayerT(C, heads, ffn_dim) for _ in range(num_layers)])
+        self.mask_feature = nn.Conv2d(C, C, 3, padding=1)
+        self.num_feats = C // 2
+
+    def forward(self, feats):
+        f = feats[-1]
+        B, _, H, W = f.shape
+        x = self.encoder_in_proj(f).flatten(2).transpose(1, 2)
+        pos = sine_pos_torch((H, W), self.num_feats).reshape(1, H * W, -1)
+        for layer in self.encoder.layers:
+            x = layer(x, pos)
+        memory = x.transpose(1, 2).reshape(B, -1, H, W)
+        y = self.encoder_out_proj(memory)
+        for i in range(len(feats) - 2, -1, -1):
+            lat = self.lateral_convs[i](feats[i])
+            y = lat + F.interpolate(y, size=lat.shape[2:], mode="nearest")
+            y = self.output_convs[i](y)
+        return self.mask_feature(y), memory
+
+
+class _EncLayerT(nn.Module):
+    """DetrTransformerEncoderLayer: self_attn (q/k get pos, v does not),
+    norm, ffn, norm."""
+
+    def __init__(self, C, heads, ffn_dim):
+        super().__init__()
+        self.attentions = nn.ModuleList([MHAWrapT(C, heads)])
+        self.norms = nn.ModuleList([nn.LayerNorm(C) for _ in range(2)])
+        self.ffns = nn.ModuleList([FFNT2(C, ffn_dim)])
+
+    def forward(self, x, pos):
+        a, _ = self.attentions[0].attn(x + pos, x + pos, x)
+        x = self.norms[0](x + a)
+        y = self.ffns[0].layers(x)
+        return self.norms[1](x + y)
+
+
+class MaskFormerHeadT(nn.Module):
+    def __init__(self, in_channels, C, num_classes, num_queries,
+                 num_dec=6, heads=8, dec_ffn=2048, enc_layers=6,
+                 enc_ffn=2048):
+        super().__init__()
+        self.pixel_decoder = TransformerEncoderPixelDecoderT(
+            in_channels, C, enc_layers, heads, enc_ffn)
+        self.query_embed = nn.Embedding(num_queries, C)
+        self.transformer_decoder = nn.Module()
+        self.transformer_decoder.layers = nn.ModuleList(
+            [MaskFormerDecoderLayerT(C, heads, dec_ffn)
+             for _ in range(num_dec)])
+        self.transformer_decoder.post_norm = nn.LayerNorm(C)
+        self.cls_embed = nn.Linear(C, num_classes + 1)
+        self.mask_embed = nn.Sequential(
+            nn.Linear(C, C), nn.ReLU(), nn.Linear(C, C), nn.ReLU(),
+            nn.Linear(C, C))
+        self.num_feats = C // 2
+
+    def forward(self, feats):
+        B = feats[0].shape[0]
+        mask_feature, memory = self.pixel_decoder(feats)
+        H, W = memory.shape[2:]
+        mem = memory.flatten(2).transpose(1, 2)
+        pos = sine_pos_torch((H, W), self.num_feats).reshape(1, H * W, -1)
+        q = torch.zeros(B, self.query_embed.weight.shape[0],
+                        mem.shape[-1])
+        qpos = self.query_embed.weight[None].expand(B, -1, -1)
+        cls_list, mask_list = [], []
+        for layer in self.transformer_decoder.layers:
+            q = layer(q, qpos, mem, pos)
+            x = self.transformer_decoder.post_norm(q)
+            cls_list.append(self.cls_embed(x))
+            m = self.mask_embed(x)
+            mask_list.append(torch.einsum("bqc,bchw->bqhw", m, mask_feature))
+        return cls_list, mask_list

@@ -15,9 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vitadapter.heads.mask2former import DecoderLayer
+from vitadapter.heads.mask2former import MultiheadAttention
 from vitadapter.heads.pixel_decoder import ConvGN
-from vitadapter.layers.attention import Attention
 from vitadapter.layers.positional import sine_positional_encoding
 from vitadapter.utils.resize import resize_2d
 
@@ -39,7 +38,7 @@ class PixelDecoder(nn.Module):
         for i in range(L - 2, -1, -1):
             lat = ConvGN(self.feat_channels, kernel=1, dtype=self.dtype,
                          name=f"lateral_{i}")(feats[i])
-            y = lat + resize_2d(y, lat.shape[1:3], "bilinear")
+            y = lat + resize_2d(y, lat.shape[1:3], "nearest")
             y = ConvGN(self.feat_channels, kernel=3, act=True,
                        dtype=self.dtype, name=f"output_{i}")(y)
         mask_feature = nn.Conv(self.out_channels, (3, 3), padding=1,
@@ -67,9 +66,11 @@ class TransformerEncoderPixelDecoder(nn.Module):
         pos = sine_positional_encoding((H, W), self.feat_channels // 2)
         pos = jnp.broadcast_to(pos.reshape(1, H * W, -1), x.shape).astype(x.dtype)
         for i in range(self.num_layers):
-            a = Attention(num_heads=self.num_heads, qkv_bias=True,
-                          dtype=self.dtype, name=f"enc_attn_{i}")(
-                x + pos, H, W)
+            # q/k carry the positional encoding, v does NOT (mmcv
+            # MultiheadAttention: value = query without query_pos)
+            a = MultiheadAttention(num_heads=self.num_heads,
+                                   dtype=self.dtype,
+                                   name=f"enc_attn_{i}")(x + pos, x + pos, x)
             x = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm1_{i}")(x + a)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype,
                          name=f"enc_fc1_{i}")(x)
@@ -82,12 +83,40 @@ class TransformerEncoderPixelDecoder(nn.Module):
         for i in range(len(feats) - 2, -1, -1):
             lat = ConvGN(self.feat_channels, kernel=1, dtype=self.dtype,
                          name=f"lateral_{i}")(feats[i])
-            y = lat + resize_2d(y, lat.shape[1:3], "bilinear")
+            y = lat + resize_2d(y, lat.shape[1:3], "nearest")
             y = ConvGN(self.feat_channels, kernel=3, act=True,
                        dtype=self.dtype, name=f"output_{i}")(y)
         mask_feature = nn.Conv(self.out_channels, (3, 3), padding=1,
                                dtype=self.dtype, name="mask_feature")(y)
         return mask_feature, memory
+
+
+class DetrDecoderLayer(nn.Module):
+    """Post-norm DETR decoder layer, SELF-attention first — MaskFormer's
+    order, unlike Mask2Former's cross-first
+    (reference `_base_/models/maskformer_beit.py` operation_order
+    ('self_attn','norm','cross_attn','norm','ffn','norm'))."""
+
+    num_heads: int
+    ffn_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, key, key_pos, attn_mask):
+        d = query.shape[-1]
+        x = query + MultiheadAttention(self.num_heads, dtype=self.dtype,
+                                       name="self_attn")(
+            query + query_pos, query + query_pos, query, None)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + MultiheadAttention(self.num_heads, dtype=self.dtype,
+                                   name="cross_attn")(
+            x + query_pos, key + key_pos, key, attn_mask)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
+        return x
 
 
 class MaskFormerHead(nn.Module):
@@ -99,21 +128,28 @@ class MaskFormerHead(nn.Module):
     num_heads: int = 8
     decoder_ffn_dim: int = 2048
     use_encoder_decoder: bool = False
+    pixel_encoder_layers: int = 6
+    pixel_encoder_ffn_dim: int = 2048
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         C = self.feat_channels
-        pd_cls = (TransformerEncoderPixelDecoder if self.use_encoder_decoder
-                  else PixelDecoder)
-        self.pixel_decoder = pd_cls(feat_channels=C,
-                                    out_channels=self.out_channels,
-                                    dtype=self.dtype)
+        if self.use_encoder_decoder:
+            self.pixel_decoder = TransformerEncoderPixelDecoder(
+                feat_channels=C, out_channels=self.out_channels,
+                num_layers=self.pixel_encoder_layers,
+                num_heads=self.num_heads,
+                ffn_dim=self.pixel_encoder_ffn_dim, dtype=self.dtype)
+        else:
+            self.pixel_decoder = PixelDecoder(
+                feat_channels=C, out_channels=self.out_channels,
+                dtype=self.dtype)
         self.query_embed = self.param("query_embed",
                                       nn.initializers.normal(1.0),
                                       (self.num_queries, C), jnp.float32)
         self.decoder_layers = [
-            DecoderLayer(self.num_heads, self.decoder_ffn_dim,
-                         dtype=self.dtype, name=f"decoder_layer_{i}")
+            DetrDecoderLayer(self.num_heads, self.decoder_ffn_dim,
+                             dtype=self.dtype, name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]
         self.post_norm = nn.LayerNorm(epsilon=1e-5, name="post_norm")

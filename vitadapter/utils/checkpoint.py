@@ -496,6 +496,88 @@ def convert_mask2former_head(sd: Dict[str, Any], prefix: str = "decode_head."):
     return params, stats
 
 
+def convert_maskformer_head(sd: Dict[str, Any], prefix: str = "decode_head."):
+    """Convert mmseg MaskFormerHead keys -> flax `heads.maskformer` params.
+
+    Reference `mmseg_custom/models/decode_heads/maskformer_head.py` +
+    `plugins/pixel_decoder.py` (plain FPN or TransformerEncoder variant)."""
+    params: dict = {}
+    p = prefix
+
+    def ln(src, dst):
+        _set(params, dst + ("scale",), _t(sd[src + ".weight"]))
+        _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def dense(src, dst):
+        _set(params, dst + ("kernel",), linear(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def conv_gn(src, dst):
+        _set(params, dst + ("conv", "kernel"), conv(sd[src + ".conv.weight"]))
+        if src + ".conv.bias" in sd:
+            _set(params, dst + ("conv", "bias"), _t(sd[src + ".conv.bias"]))
+        _set(params, dst + ("gn", "scale"), _t(sd[src + ".gn.weight"]))
+        _set(params, dst + ("gn", "bias"), _t(sd[src + ".gn.bias"]))
+
+    def mha(src, dst):
+        w = _t(sd[src + ".attn.in_proj_weight"])
+        b = _t(sd[src + ".attn.in_proj_bias"])
+        C = w.shape[1]
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(params, dst + (name, "kernel"), w[i * C:(i + 1) * C].T)
+            _set(params, dst + (name, "bias"), b[i * C:(i + 1) * C])
+        dense(src + ".attn.out_proj", dst + ("out_proj",))
+
+    pd = p + "pixel_decoder."
+    pp = ("pixel_decoder",)
+    i = 0
+    while f"{pd}lateral_convs.{i}.conv.weight" in sd:
+        conv_gn(f"{pd}lateral_convs.{i}", pp + (f"lateral_{i}",))
+        conv_gn(f"{pd}output_convs.{i}", pp + (f"output_{i}",))
+        i += 1
+    if pd + "last_feat_conv.conv.weight" in sd:
+        conv_gn(pd + "last_feat_conv", pp + ("last_conv",))
+    _set(params, pp + ("mask_feature", "kernel"),
+         conv(sd[pd + "mask_feature.weight"]))
+    _set(params, pp + ("mask_feature", "bias"),
+         _t(sd[pd + "mask_feature.bias"]))
+    if pd + "encoder_in_proj.weight" in sd:
+        _set(params, pp + ("encoder_in_proj", "kernel"),
+             conv(sd[pd + "encoder_in_proj.weight"]))
+        _set(params, pp + ("encoder_in_proj", "bias"),
+             _t(sd[pd + "encoder_in_proj.bias"]))
+        conv_gn(pd + "encoder_out_proj", pp + ("last_conv",))
+        i = 0
+        while f"{pd}encoder.layers.{i}.norms.0.weight" in sd:
+            src = f"{pd}encoder.layers.{i}"
+            mha(src + ".attentions.0", pp + (f"enc_attn_{i}",))
+            ln(src + ".norms.0", pp + (f"enc_norm1_{i}",))
+            ln(src + ".norms.1", pp + (f"enc_norm2_{i}",))
+            dense(src + ".ffns.0.layers.0.0", pp + (f"enc_fc1_{i}",))
+            dense(src + ".ffns.0.layers.1", pp + (f"enc_fc2_{i}",))
+            i += 1
+
+    _set(params, ("query_embed",), _t(sd[p + "query_embed.weight"]))
+    dense(p + "cls_embed", ("cls_embed",))
+    for i, t_idx in enumerate((0, 2, 4)):
+        dense(f"{p}mask_embed.{t_idx}", (f"mask_embed_{i}",))
+    ln(p + "transformer_decoder.post_norm", ("post_norm",))
+    i = 0
+    while f"{p}transformer_decoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{p}transformer_decoder.layers.{i}"
+        dst = (f"decoder_layer_{i}",)
+        # MaskFormer order: attentions.0 = self, attentions.1 = cross
+        mha(src + ".attentions.0", dst + ("self_attn",))
+        mha(src + ".attentions.1", dst + ("cross_attn",))
+        for j in (0, 1, 2):
+            ln(f"{src}.norms.{j}", dst + (f"norm{j + 1}",))
+        dense(src + ".ffns.0.layers.0.0", dst + ("ffn_fc1",))
+        dense(src + ".ffns.0.layers.1", dst + ("ffn_fc2",))
+        i += 1
+    return params
+
+
 def convert_dino_head(sd: Dict[str, Any], prefix: str = "bbox_head."):
     """Convert a reference DINOHead subtree (mmdet key scheme:
     `bbox_head.transformer.{encoder,decoder,enc_output,query_embed}`,

@@ -37,6 +37,14 @@ def resize_matrix(n_in: int, n_out: int, method: str = "bilinear") -> np.ndarray
     if n_in == n_out:
         return np.eye(n_in, dtype=np.float32)
     scale = n_in / n_out
+    if method == "nearest":
+        # torch F.interpolate(mode='nearest'): src = floor(dst * in/out),
+        # asymmetric coordinates (NOT half-pixel)
+        M = np.zeros((n_out, n_in), dtype=np.float64)
+        idx = np.minimum((np.arange(n_out) * scale).astype(np.int64),
+                         n_in - 1)
+        M[np.arange(n_out), idx] = 1.0
+        return M.astype(np.float32)
     centers = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
     base = np.floor(centers).astype(np.int64)
     M = np.zeros((n_out, n_in), dtype=np.float64)
