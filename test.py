@@ -70,12 +70,15 @@ def load_variables(path: str, cfg):
                                      variables["batch_stats"], tx)
         state = restore_checkpoint(path, template)
         return {"params": state.params, "batch_stats": state.batch_stats}
-    # torch checkpoint
+    # torch checkpoint: route by model family
     import torch
 
-    from vitadapter.utils.checkpoint import convert_segmentor_checkpoint
+    from vitadapter.utils.checkpoint import (
+        convert_grounding_dino_checkpoint, convert_segmentor_checkpoint)
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if cfg.model["type"] == "GroundingDINO":
+        return convert_grounding_dino_checkpoint(ckpt)
     return convert_segmentor_checkpoint(ckpt)
 
 

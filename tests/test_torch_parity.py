@@ -462,3 +462,65 @@ def test_maskformer_head_full_parity():
         np.testing.assert_allclose(
             np.asarray(mask_j[i]), mask_t[i].numpy(), rtol=2e-4, atol=3e-4,
             err_msg=f"mask layer {i}")
+
+
+def test_grounding_dino_checkpoint_roundtrip():
+    """Full wsdm2023 GroundingDINO .pth conversion: UniPerceiver backbone +
+    ChannelMapper neck + DINO head keys assembled torch-side, converted with
+    convert_grounding_dino_checkpoint, covering the flax detector's full
+    init tree; converted model runs finite eval forward."""
+    import jax.numpy as jnp
+
+    from vitadapter.det.grounding_dino import GroundingDINO
+    from vitadapter.models.uniperceiver_adapter import UniPerceiverAdapter
+    from vitadapter.utils.checkpoint import convert_grounding_dino_checkpoint
+
+    from torch_ref import ConvGNT, DinoTransformerT, UniPerceiverAdapterT
+
+    dim, C, Q, K = 48, 64, 12, 1
+    tb = UniPerceiverAdapterT(dim=dim, depth=4, heads=4, vocab=100,
+                              conv_inplane=16, deform_num_heads=4)
+    th = DinoTransformerT(C=C, heads=4, num_enc=2, num_dec=3, ffn_dim=96,
+                          num_queries=Q, num_classes=K)
+    randomize(tb, 71)
+    randomize(th, 72)
+
+    class NeckT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs = torch.nn.ModuleList(
+                [ConvGNT(dim, C, 1) for _ in range(3)])
+            # mmdet ChannelMapper: the first extra conv reads the RAW last
+            # input feature, not the mapped one
+            self.extra_convs = torch.nn.ModuleList([ConvGNT(dim, C, 3)])
+
+    tn = NeckT()
+    randomize(tn, 73)
+    sd = {}
+    sd.update({"backbone." + k: v for k, v in tb.state_dict().items()})
+    sd.update({"neck." + k: v for k, v in tn.state_dict().items()})
+    sd.update({"bbox_head." + k: v for k, v in th.state_dict().items()})
+    sd["bbox_head.label_embedding.weight"] = 0.1 * torch.randn(K, C)
+
+    variables = convert_grounding_dino_checkpoint({"state_dict": sd})
+
+    model = GroundingDINO(
+        backbone=UniPerceiverAdapter(
+            patch_size=16, embed_dim=dim, depth=4, num_heads=4,
+            vocab_size=100, conv_inplane=16, deform_num_heads=4,
+            out_indices=(1, 2, 3),
+            interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3))),
+        num_classes=K, num_queries=Q, embed_dim=C, num_heads=4, ffn_dim=96,
+        num_encoder_layers=2, num_decoder_layers=3)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ids = jnp.zeros((1, 6), jnp.int32)
+    init = jax.jit(lambda k, x, i: model.init(k, x, i))(
+        jax.random.PRNGKey(0), img, ids)
+    assert_full_coverage(variables["params"], init["params"])
+    assert_full_coverage(variables["batch_stats"], init["batch_stats"])
+
+    out = jax.jit(model.apply)(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, img, ids)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))

@@ -2,7 +2,7 @@
 
 Parity target: the reference wsdm2023 DINO config
 (`dino_4scale_uniperceiver_adapter_large_24ep_gqa_wsdm2023.py`): 4-scale
-features (strides 8/16/32/64 via ChannelMapperWithPooling), 6+6 transformer,
+features (strides 8/16/32/64 via ChannelMapper), 6+6 transformer,
 CDN query denoising, focal+L1+GIoU losses on every decoder layer plus the
 encoder proposals. Inference: flat top-k over sigmoid class scores
 (mmdet DETRHead._get_bboxes_single).
@@ -17,7 +17,7 @@ from flax import linen as nn
 from vitadapter.det.dino import (DnQueries, cdn_queries, dino_dn_loss,
                                  dino_matching_loss, DinoTransformer)
 from vitadapter.det.losses import cxcywh_to_xyxy, xyxy_to_cxcywh
-from vitadapter.det.necks import ChannelMapperWithPooling
+from vitadapter.det.necks import ChannelMapper
 
 
 class DINO(nn.Module):
@@ -34,7 +34,7 @@ class DINO(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.neck = ChannelMapperWithPooling(out_channels=self.embed_dim,
+        self.neck = ChannelMapper(out_channels=self.embed_dim,
                                              num_outs=4, dtype=self.dtype)
         self.transformer = DinoTransformer(
             embed_dim=self.embed_dim, num_heads=self.num_heads,

@@ -20,7 +20,7 @@ from flax import linen as nn
 from vitadapter.det.boxes import bbox_overlaps
 from vitadapter.det.dino import cdn_queries, dino_dn_loss, dino_matching_loss, DinoTransformer
 from vitadapter.det.losses import cxcywh_to_xyxy, xyxy_to_cxcywh
-from vitadapter.det.necks import ChannelMapperWithPooling
+from vitadapter.det.necks import ChannelMapper
 
 
 class GroundingDINO(nn.Module):
@@ -43,7 +43,7 @@ class GroundingDINO(nn.Module):
                 nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
                         name=f"aux_seg_conv_{i}") for i in range(2)
             ] + [nn.Conv(1, (1, 1), dtype=jnp.float32, name="aux_seg_out")]
-        self.neck = ChannelMapperWithPooling(out_channels=self.embed_dim,
+        self.neck = ChannelMapper(out_channels=self.embed_dim,
                                              num_outs=4, dtype=self.dtype)
         self.transformer = DinoTransformer(
             embed_dim=self.embed_dim, num_heads=self.num_heads,

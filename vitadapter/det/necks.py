@@ -83,8 +83,9 @@ class ExtraAttention(nn.Module):
 
 
 class ChannelMapperWithPooling(nn.Module):
-    """1x1(+GN) channel mapping per level, extra levels via stride-2 pooling
-    of the last map."""
+    """1x1(+GN) channel mapping per level, extra levels via 2x2 stride-2
+    max-pooling of the last map (reference
+    `detection/mmdet_custom/models/necks/channel_mapper.py:73`)."""
 
     out_channels: int = 256
     num_outs: int = 4
@@ -95,10 +96,43 @@ class ChannelMapperWithPooling(nn.Module):
     def __call__(self, feats: Sequence[jax.Array]):
         outs = []
         for i, f in enumerate(feats):
-            y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name=f"conv_{i}")(f)
-            y = nn.GroupNorm(num_groups=self.groups, name=f"gn_{i}")(y)
+            y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"conv_{i}")(f)
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name=f"gn_{i}")(y)
             outs.append(y)
         while len(outs) < self.num_outs:
-            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+            outs.append(nn.max_pool(outs[-1], (2, 2), strides=(2, 2)))
+        return outs
+
+
+class ChannelMapper(nn.Module):
+    """Upstream mmdet ChannelMapper as the wsdm DINO configs use it
+    (kernel 1, GN(32), act None, num_outs 4): 1x1(+GN) per input level,
+    extra levels via LEARNED 3x3 stride-2 conv(+GN) — first extra reads the
+    last INPUT feature, later extras chain."""
+
+    out_channels: int = 256
+    num_outs: int = 4
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        outs = []
+        for i, f in enumerate(feats):
+            y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"conv_{i}")(f)
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name=f"gn_{i}")(y)
+            outs.append(y)
+        src = feats[-1]
+        j = 0
+        while len(outs) < self.num_outs:
+            y = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                        padding=1, use_bias=False, dtype=self.dtype,
+                        name=f"extra_conv_{j}")(src)
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             name=f"extra_gn_{j}")(y)
+            outs.append(y)
+            src = y
+            j += 1
         return outs

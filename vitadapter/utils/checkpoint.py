@@ -737,6 +737,39 @@ def convert_uniperceiver_backbone(sd: Dict[str, Any], prefix: str = ""):
     return params, stats
 
 
+def convert_grounding_dino_checkpoint(ckpt):
+    """Full reference wsdm2023 GroundingDINO checkpoint -> flax variables:
+    UniPerceiver-Adapter backbone + ChannelMapper neck + DINO transformer
+    head + CDN label embedding. Aux FPN seg-head keys (train-only branch)
+    are ignored."""
+    sd = unwrap_state_dict(ckpt)
+    bk_params, bk_stats = convert_uniperceiver_backbone(sd, prefix="backbone.")
+    head = convert_dino_head(sd, prefix="bbox_head.")
+
+    neck: dict = {}
+    i = 0
+    while f"neck.convs.{i}.conv.weight" in sd:
+        _set(neck, (f"conv_{i}", "kernel"),
+             conv(sd[f"neck.convs.{i}.conv.weight"]))
+        _set(neck, (f"gn_{i}", "scale"), _t(sd[f"neck.convs.{i}.gn.weight"]))
+        _set(neck, (f"gn_{i}", "bias"), _t(sd[f"neck.convs.{i}.gn.bias"]))
+        i += 1
+    j = 0
+    while f"neck.extra_convs.{j}.conv.weight" in sd:
+        _set(neck, (f"extra_conv_{j}", "kernel"),
+             conv(sd[f"neck.extra_convs.{j}.conv.weight"]))
+        _set(neck, (f"extra_gn_{j}", "scale"),
+             _t(sd[f"neck.extra_convs.{j}.gn.weight"]))
+        _set(neck, (f"extra_gn_{j}", "bias"),
+             _t(sd[f"neck.extra_convs.{j}.gn.bias"]))
+        j += 1
+
+    params = {"backbone": bk_params, "neck": neck, "transformer": head,
+              "label_embed": _t(sd["bbox_head.label_embedding.weight"])}
+    stats = {"backbone": bk_stats}
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_segmentor_checkpoint(ckpt, target_grid: Optional[int] = None):
     """Full reference segmentor checkpoint -> {'params':..., 'batch_stats':...}.
 
