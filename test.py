@@ -77,8 +77,13 @@ def load_variables(path: str, cfg):
         convert_grounding_dino_checkpoint, convert_segmentor_checkpoint)
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    if cfg.model["type"] == "GroundingDINO":
+    mtype = cfg.model["type"]
+    if mtype == "GroundingDINO":
         return convert_grounding_dino_checkpoint(ckpt)
+    if mtype in ("MaskRCNN", "CascadeRCNN", "HybridTaskCascade",
+                 "HybridTaskCascadeAug"):
+        from vitadapter.utils.checkpoint import convert_detector_checkpoint
+        return convert_detector_checkpoint(ckpt)
     return convert_segmentor_checkpoint(ckpt)
 
 

@@ -524,3 +524,180 @@ def test_grounding_dino_checkpoint_roundtrip():
          "batch_stats": variables["batch_stats"]}, img, ids)
     for leaf in jax.tree_util.tree_leaves(out):
         assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
+
+class _ConvM(torch.nn.Module):
+    """mmdet ConvModule without norm: just `.conv` (+act outside)."""
+
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k, stride, k // 2)
+
+
+def _mmdet_bbox_head(C=256, fc=64, K=7, agnostic=False):
+    m = torch.nn.Module()
+    m.shared_fcs = torch.nn.ModuleList(
+        [torch.nn.Linear(C * 49, fc), torch.nn.Linear(fc, fc)])
+    m.fc_cls = torch.nn.Linear(fc, K + 1)
+    m.fc_reg = torch.nn.Linear(fc, 4 if agnostic else 4 * K)
+    return m
+
+
+def _mmdet_mask_head(C=256, K=7, info_flow=False):
+    m = torch.nn.Module()
+    m.convs = torch.nn.ModuleList([_ConvM(C, C, 3) for _ in range(4)])
+    if info_flow:
+        m.conv_res_feat = _ConvM(C, C, 1)
+    m.upsample = torch.nn.ConvTranspose2d(C, C, 2, 2)
+    m.conv_logits = torch.nn.Conv2d(C, K, 1)
+    return m
+
+
+def test_mask_rcnn_checkpoint_roundtrip():
+    """Mask R-CNN .pth conversion: ViT-Adapter backbone + FPN + RPN + RoI
+    heads; full init-tree coverage AND numeric parity of the layout-
+    sensitive heads (channel-first fc flatten, transposed-conv flip)."""
+    import jax.numpy as jnp
+
+    from vitadapter.det.mask_rcnn import MaskRCNN
+    from vitadapter.det.roi_heads import FCNMaskHead, Shared2FCBBoxHead
+    from vitadapter.models.vit_adapter import ViTAdapter
+    from vitadapter.utils.checkpoint import convert_detector_checkpoint
+
+    from torch_ref import ViTAdapterT
+
+    dim, C, K, fc = 48, 64, 7, 1024
+    tb = ViTAdapterT(embed_dim=dim, depth=4, num_heads=4, pretrain_size=224,
+                     conv_inplane=16, deform_num_heads=6,
+                     interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)))
+    randomize(tb, 81)
+
+    neck = torch.nn.Module()
+    neck.lateral_convs = torch.nn.ModuleList(
+        [_ConvM(dim, C, 1) for _ in range(4)])
+    neck.fpn_convs = torch.nn.ModuleList(
+        [_ConvM(C, C, 3) for _ in range(4)])
+    rpn = torch.nn.Module()
+    rpn.rpn_conv = torch.nn.Conv2d(C, C, 3, 1, 1)
+    rpn.rpn_cls = torch.nn.Conv2d(C, 3, 1)
+    rpn.rpn_reg = torch.nn.Conv2d(C, 12, 1)
+    roi = torch.nn.Module()
+    roi.bbox_head = _mmdet_bbox_head(C, fc, K)
+    roi.mask_head = _mmdet_mask_head(C, K)
+    full = torch.nn.Module()
+    full.neck, full.rpn_head, full.roi_head = neck, rpn, roi
+    randomize(full, 82)
+
+    sd = {"backbone." + k: v for k, v in tb.state_dict().items()}
+    sd.update(full.state_dict())
+    variables = convert_detector_checkpoint({"state_dict": sd})
+
+    model = MaskRCNN(
+        backbone=ViTAdapter(
+            patch_size=16, embed_dim=dim, depth=4, num_heads=4,
+            deform_num_heads=6, conv_inplane=16, pretrain_size=224,
+            interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3))),
+        num_classes=K, fpn_channels=C)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(0), img)
+    assert_full_coverage(variables["params"], init["params"])
+    assert_full_coverage(variables["batch_stats"], init["batch_stats"])
+
+    # numeric parity of the layout-sensitive RoI heads
+    roi_np = np.random.RandomState(5).randn(3, 7, 7, C).astype(np.float32)
+    x_t = torch.from_numpy(roi_np.transpose(0, 3, 1, 2)).flatten(1)
+    with torch.no_grad():
+        h = x_t
+        for fc_l in roi.bbox_head.shared_fcs:
+            h = torch.relu(fc_l(h))
+        cls_t = roi.bbox_head.fc_cls(h)
+        reg_t = roi.bbox_head.fc_reg(h)
+    bh = Shared2FCBBoxHead(num_classes=K, fc_dim=fc)
+    cls_j, reg_j = bh.apply({"params": variables["params"]["bbox_head"]},
+                            jnp.asarray(roi_np))
+    np.testing.assert_allclose(np.asarray(cls_j), cls_t.numpy(), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(reg_j).reshape(3, -1),
+                               reg_t.numpy(), rtol=2e-4, atol=2e-4)
+
+    m_np = np.random.RandomState(6).randn(3, 14, 14, C).astype(np.float32)
+    with torch.no_grad():
+        y = torch.from_numpy(m_np.transpose(0, 3, 1, 2))
+        for cm in roi.mask_head.convs:
+            y = torch.relu(cm.conv(y))
+        y = torch.relu(roi.mask_head.upsample(y))
+        logits_t = roi.mask_head.conv_logits(y)
+    mh = FCNMaskHead(num_classes=K, channels=C)
+    logits_j = mh.apply({"params": variables["params"]["mask_head"]},
+                        jnp.asarray(m_np))
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.numpy().transpose(0, 2, 3, 1),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_htc_checkpoint_roundtrip():
+    """HTC++ .pth conversion: cascade stages, mask info flow, semantic
+    branch, ExtraAttention pre-neck — full init-tree coverage."""
+    import jax.numpy as jnp
+
+    from vitadapter.det.cascade import CascadeRCNN
+    from vitadapter.models.vit_adapter import ViTAdapter
+    from vitadapter.utils.checkpoint import convert_detector_checkpoint
+
+    from torch_ref import MlpT, ViTAdapterT
+
+    dim, C, K, fc = 48, 64, 7, 1024
+    tb = ViTAdapterT(embed_dim=dim, depth=4, num_heads=4, pretrain_size=224,
+                     conv_inplane=16, deform_num_heads=6,
+                     interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)))
+    randomize(tb, 83)
+
+    ea = torch.nn.Module()
+    ea.norm1 = torch.nn.LayerNorm(dim)
+    ea.attn = torch.nn.Module()
+    ea.attn.qkv = torch.nn.Linear(dim, 3 * dim)
+    ea.attn.proj = torch.nn.Linear(dim, dim)
+    ea.norm2 = torch.nn.LayerNorm(dim)
+    ea.ffn = MlpT(dim, int(dim * 4.0))
+    ea.final_norm = torch.nn.LayerNorm(dim)
+    fpn = torch.nn.Module()
+    fpn.lateral_convs = torch.nn.ModuleList(
+        [_ConvM(dim, C, 1) for _ in range(4)])
+    fpn.fpn_convs = torch.nn.ModuleList(
+        [_ConvM(C, C, 3) for _ in range(4)])
+    rpn = torch.nn.Module()
+    rpn.rpn_conv = torch.nn.Conv2d(C, C, 3, 1, 1)
+    rpn.rpn_cls = torch.nn.Conv2d(C, 3, 1)
+    rpn.rpn_reg = torch.nn.Conv2d(C, 12, 1)
+    roi = torch.nn.Module()
+    roi.bbox_head = torch.nn.ModuleList(
+        [_mmdet_bbox_head(C, fc, K, agnostic=True) for _ in range(3)])
+    roi.mask_head = torch.nn.ModuleList(
+        [_mmdet_mask_head(C, K, info_flow=True) for _ in range(3)])
+    sem = torch.nn.Module()
+    sem.lateral_convs = torch.nn.ModuleList(
+        [_ConvM(C, C, 1) for _ in range(4)])
+    sem.convs = torch.nn.ModuleList([_ConvM(C, C, 3) for _ in range(4)])
+    sem.conv_embedding = _ConvM(C, C, 1)
+    sem.conv_logits = torch.nn.Conv2d(C, 11, 1)
+    roi.semantic_head = sem
+    full = torch.nn.Module()
+    full.neck = torch.nn.ModuleList([ea, fpn])
+    full.rpn_head, full.roi_head = rpn, roi
+    randomize(full, 84)
+
+    sd = {"backbone." + k: v for k, v in tb.state_dict().items()}
+    sd.update(full.state_dict())
+    variables = convert_detector_checkpoint({"state_dict": sd})
+
+    model = CascadeRCNN(
+        backbone=ViTAdapter(
+            patch_size=16, embed_dim=dim, depth=4, num_heads=4,
+            deform_num_heads=6, conv_inplane=16, pretrain_size=224,
+            interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3))),
+        num_classes=K, fpn_channels=C, use_extra_attention=True,
+        with_semantic=True, num_semantic_classes=11)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(0), img)
+    assert_full_coverage(variables["params"], init["params"])
+    assert_full_coverage(variables["batch_stats"], init["batch_stats"])

@@ -106,6 +106,7 @@ class CascadeRCNN(nn.Module):
         if self.with_mask:
             self.mask_heads = [
                 FCNMaskHead(num_classes=self.num_classes,
+                            channels=self.fpn_channels,
                             return_feat=self.mask_info_flow,
                             dtype=self.dtype, name=f"mask_head_{i}")
                 for i in range(self.num_stages)

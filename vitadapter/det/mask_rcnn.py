@@ -54,6 +54,7 @@ class MaskRCNN(nn.Module):
         self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes,
                                            dtype=self.dtype)
         self.mask_head = FCNMaskHead(num_classes=self.num_classes,
+                                     channels=self.fpn_channels,
                                      dtype=self.dtype)
 
     def extract_feats(self, img, train: bool):

@@ -51,11 +51,15 @@ class FPN(nn.Module):
 
 
 class ExtraAttention(nn.Module):
-    """Global MHSA (+FFN) on the coarsest level(s) before the FPN."""
+    """Global MHSA (+FFN, final LN) on the coarsest level before the FPN
+    (reference `extra_attention.py:60-152`: torch-default LN eps, optional
+    layer-scale gammas via init_values, use_final_norm=True default)."""
 
     num_heads: int = 8
     with_ffn: bool = True
     ffn_ratio: float = 4.0
+    use_final_norm: bool = True
+    init_values: float = 0.0   # >0 enables layer-scale gammas
     apply_to_last: int = 1
     dtype: jnp.dtype = jnp.float32
 
@@ -69,15 +73,28 @@ class ExtraAttention(nn.Module):
             x = f.reshape(B, H * W, C)
             a = Attention(num_heads=self.num_heads, qkv_bias=True,
                           dtype=self.dtype, name=f"attn_{k}")(
-                nn.LayerNorm(epsilon=1e-6, name=f"norm1_{k}")(x), H, W)
+                nn.LayerNorm(epsilon=1e-5, name=f"norm1_{k}")(x), H, W)
+            if self.init_values > 0:
+                g1 = self.param(f"gamma_1_{k}",
+                                nn.initializers.constant(self.init_values),
+                                (C,), jnp.float32)
+                a = g1 * a
             x = x + a
             if self.with_ffn:
                 y = nn.Dense(int(C * self.ffn_ratio), dtype=self.dtype,
                              name=f"ffn_fc1_{k}")(
-                    nn.LayerNorm(epsilon=1e-6, name=f"norm2_{k}")(x))
+                    nn.LayerNorm(epsilon=1e-5, name=f"norm2_{k}")(x))
                 y = nn.gelu(y, approximate=False)
                 y = nn.Dense(C, dtype=self.dtype, name=f"ffn_fc2_{k}")(y)
+                if self.init_values > 0:
+                    g2 = self.param(
+                        f"gamma_2_{k}",
+                        nn.initializers.constant(self.init_values),
+                        (C,), jnp.float32)
+                    y = g2 * y
                 x = x + y
+            if self.use_final_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"final_norm_{k}")(x)
             feats[i] = x.reshape(B, H, W, C)
         return feats
 

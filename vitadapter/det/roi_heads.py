@@ -53,7 +53,18 @@ class FCNMaskHead(nn.Module):
         this stage's tower.
         """
         x = roi_feats
-        if prev_feat is not None:
+        if self.return_feat:
+            # HTC mode: mmdet's HTCMaskHead owns conv_res_feat in EVERY
+            # stage (stage 0 just never uses it) — materialize the params
+            # so converted checkpoints cover the tree; the zero multiply
+            # keeps stage 0 an exact no-op.
+            res = nn.Conv(roi_feats.shape[-1], (1, 1), dtype=self.dtype,
+                          name="conv_res_feat")
+            if prev_feat is not None:
+                x = x + res(prev_feat)
+            else:
+                x = x + 0.0 * res(x)
+        elif prev_feat is not None:
             x = x + nn.Conv(roi_feats.shape[-1], (1, 1), dtype=self.dtype,
                             name="conv_res_feat")(prev_feat)
         for i in range(self.num_convs):

@@ -737,6 +737,136 @@ def convert_uniperceiver_backbone(sd: Dict[str, Any], prefix: str = ""):
     return params, stats
 
 
+def convert_detector_checkpoint(ckpt):
+    """Full reference Mask R-CNN / Cascade / HTC++ checkpoint -> flax
+    variables (mmdet key scheme: backbone/neck/rpn_head/roi_head).
+
+    Handles: ViT-Adapter or BEiT-Adapter backbones (auto-detected), FPN or
+    ChannelMapperWithPooling necks, the HTC++ ExtraAttention pre-neck,
+    single or per-stage bbox/mask heads (incl. HTC mask info flow), and the
+    HTC FusedSemanticHead."""
+    sd = unwrap_state_dict(ckpt)
+    if "backbone.blocks.0.attn.q_bias" in sd:
+        bk_params, bk_stats = convert_beit_backbone(sd, prefix="backbone.")
+    else:
+        bk_params, bk_stats = convert_vit_adapter_backbone(sd,
+                                                           prefix="backbone.")
+    params: dict = {"backbone": bk_params}
+    stats: dict = {"backbone": bk_stats}
+
+    def ln(src, dst):
+        _set(params, dst + ("scale",), _t(sd[src + ".weight"]))
+        _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def dense(src, dst):
+        _set(params, dst + ("kernel",), linear(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def conv2d(src, dst, tf=conv):
+        _set(params, dst + ("kernel",), tf(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    # --- neck (possibly a Sequential list: ExtraAttention then FPN) ---
+    necks = [""]
+    if "neck.0.norm1.weight" in sd or "neck.1.lateral_convs.0.conv.weight" in sd:
+        necks = ["0.", "1."]
+    for np_ in necks:
+        n = f"neck.{np_}"
+        if f"{n}norm1.weight" in sd:  # ExtraAttention
+            dst = ("extra_attn",)
+            ln(f"{n}norm1", dst + ("norm1_0",))
+            dense(f"{n}attn.qkv", dst + ("attn_0", "qkv"))
+            dense(f"{n}attn.proj", dst + ("attn_0", "proj"))
+            if f"{n}norm2.weight" in sd:
+                ln(f"{n}norm2", dst + ("norm2_0",))
+                dense(f"{n}ffn.fc1", dst + ("ffn_fc1_0",))
+                dense(f"{n}ffn.fc2", dst + ("ffn_fc2_0",))
+            if f"{n}final_norm.weight" in sd:
+                ln(f"{n}final_norm", dst + ("final_norm_0",))
+            if f"{n}gamma_1" in sd:
+                _set(params, dst + ("gamma_1_0",), _t(sd[f"{n}gamma_1"]))
+                _set(params, dst + ("gamma_2_0",), _t(sd[f"{n}gamma_2"]))
+        i = 0
+        while f"{n}lateral_convs.{i}.conv.weight" in sd:  # FPN
+            conv2d(f"{n}lateral_convs.{i}.conv", ("neck", f"lateral_{i}"))
+            conv2d(f"{n}fpn_convs.{i}.conv", ("neck", f"fpn_conv_{i}"))
+            i += 1
+        i = 0
+        while f"{n}convs.{i}.conv.weight" in sd:  # ChannelMapperWithPooling
+            conv2d(f"{n}convs.{i}.conv", ("neck", f"conv_{i}"))
+            _set(params, ("neck", f"gn_{i}", "scale"),
+                 _t(sd[f"{n}convs.{i}.gn.weight"]))
+            _set(params, ("neck", f"gn_{i}", "bias"),
+                 _t(sd[f"{n}convs.{i}.gn.bias"]))
+            i += 1
+
+    # --- RPN ---
+    conv2d("rpn_head.rpn_conv", ("rpn_head", "rpn_conv"))
+    conv2d("rpn_head.rpn_cls", ("rpn_head", "rpn_cls"))
+    conv2d("rpn_head.rpn_reg", ("rpn_head", "rpn_reg"))
+
+    # --- RoI heads ---
+    def shared_fc0(src, dst, roi=7):
+        """mmdet flattens RoI feats channel-FIRST; our NHWC layout flattens
+        channel-LAST — permute fc rows accordingly."""
+        w = _t(sd[src + ".weight"])                 # (out, C*roi*roi)
+        out = w.shape[0]
+        C = w.shape[1] // (roi * roi)
+        w = w.reshape(out, C, roi, roi).transpose(0, 2, 3, 1)
+        _set(params, dst + ("kernel",), w.reshape(out, -1).T)
+        _set(params, dst + ("bias",), _t(sd[src + ".bias"]))
+
+    def bbox_head(src, dst):
+        shared_fc0(src + ".shared_fcs.0", dst + ("fc1",))
+        dense(src + ".shared_fcs.1", dst + ("fc2",))
+        dense(src + ".fc_cls", dst + ("fc_cls",))
+        dense(src + ".fc_reg", dst + ("fc_reg",))
+
+    def mask_head(src, dst):
+        i = 0
+        while f"{src}.convs.{i}.conv.weight" in sd:
+            conv2d(f"{src}.convs.{i}.conv", dst + (f"conv_{i}",))
+            i += 1
+        if f"{src}.conv_res_feat.conv.weight" in sd:  # HTC info flow
+            conv2d(f"{src}.conv_res_feat.conv", dst + ("conv_res_feat",))
+        conv2d(f"{src}.upsample", dst + ("upsample",), tf=conv_transpose)
+        conv2d(f"{src}.conv_logits", dst + ("conv_logits",))
+
+    r = "roi_head."
+    if r + "bbox_head.fc_cls.weight" in sd:  # single-stage RoI (Mask R-CNN)
+        bbox_head(r + "bbox_head", ("bbox_head",))
+        if r + "mask_head.conv_logits.weight" in sd:
+            mask_head(r + "mask_head", ("mask_head",))
+    else:  # cascade
+        s = 0
+        while f"{r}bbox_head.{s}.fc_cls.weight" in sd:
+            bbox_head(f"{r}bbox_head.{s}", (f"bbox_head_{s}",))
+            if f"{r}mask_head.{s}.conv_logits.weight" in sd:
+                mask_head(f"{r}mask_head.{s}", (f"mask_head_{s}",))
+            s += 1
+
+    # --- HTC semantic-fusion branch ---
+    sh = r + "semantic_head."
+    if sh + "conv_logits.weight" in sd:
+        dst = ("semantic_head",)
+        fusion = 1  # mmdet fusion_level for HTC
+        i = 0
+        while f"{sh}lateral_convs.{i}.conv.weight" in sd:
+            name = "lateral_fuse" if i == fusion else f"lateral_{i}"
+            conv2d(f"{sh}lateral_convs.{i}.conv", dst + (name,))
+            i += 1
+        i = 0
+        while f"{sh}convs.{i}.conv.weight" in sd:
+            conv2d(f"{sh}convs.{i}.conv", dst + (f"conv_{i}",))
+            i += 1
+        conv2d(sh + "conv_embedding.conv", dst + ("conv_embedding",))
+        conv2d(sh + "conv_logits", dst + ("conv_seg",))
+
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_grounding_dino_checkpoint(ckpt):
     """Full reference wsdm2023 GroundingDINO checkpoint -> flax variables:
     UniPerceiver-Adapter backbone + ChannelMapper neck + DINO transformer
