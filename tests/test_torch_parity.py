@@ -701,3 +701,37 @@ def test_htc_checkpoint_roundtrip():
     init = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(0), img)
     assert_full_coverage(variables["params"], init["params"])
     assert_full_coverage(variables["batch_stats"], init["batch_stats"])
+
+
+def test_segmentor_checkpoint_routing_maskformer_and_panoptic():
+    """convert_segmentor_checkpoint routes by key scheme: MaskFormer heads
+    (no level_encoding) and mmdet panoptic_head-prefixed Mask2Former."""
+    from vitadapter.utils.checkpoint import convert_segmentor_checkpoint
+
+    from torch_ref import MaskFormerHeadT, ViTAdapterT
+
+    tb = ViTAdapterT(embed_dim=48, depth=4, num_heads=4, pretrain_size=224,
+                     conv_inplane=16, deform_num_heads=6,
+                     interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)))
+    randomize(tb, 91)
+    tm = MaskFormerHeadT([48] * 4, 64, num_classes=7, num_queries=5,
+                         num_dec=3, heads=4, dec_ffn=96, enc_layers=2,
+                         enc_ffn=96)
+    randomize(tm, 92)
+    sd = {"backbone." + k: v for k, v in tb.state_dict().items()}
+    sd.update({"decode_head." + k: v for k, v in tm.state_dict().items()})
+    v = convert_segmentor_checkpoint({"state_dict": sd})
+    assert "post_norm" in v["params"]["decode_head"]
+    assert "encoder_in_proj" in v["params"]["decode_head"]["pixel_decoder"]
+
+    # panoptic_head prefix (mmdet COCO-panoptic Mask2Former)
+    from torch_ref import Mask2FormerHeadT
+
+    t2 = Mask2FormerHeadT([48, 48, 48, 48], 64, num_classes=7,
+                          num_queries=5, heads=4, dec_ffn=96, enc_ffn=96,
+                          enc_heads=4)
+    randomize(t2, 93)
+    sd2 = {"backbone." + k: v2 for k, v2 in tb.state_dict().items()}
+    sd2.update({"panoptic_head." + k: v2 for k, v2 in t2.state_dict().items()})
+    v2 = convert_segmentor_checkpoint({"state_dict": sd2})
+    assert "level_encoding" in v2["params"]["decode_head"]["pixel_decoder"]

@@ -912,10 +912,22 @@ def convert_segmentor_checkpoint(ckpt, target_grid: Optional[int] = None):
                                                     target_grid=target_grid)
     else:
         bk_params, bk_stats = convert_vit_adapter_backbone(sd, prefix="backbone.")
-    if "decode_head.pixel_decoder.mask_feature.weight" in sd:
+    if "decode_head.pixel_decoder.level_encoding.weight" in sd:
+        # Mask2Former (the deformable pixel decoder has level_encoding;
+        # MaskFormer's plain/encoder pixel decoders do not)
         hd_params, hd_stats = convert_mask2former_head(sd)
         hd_params = {"decode_head": hd_params}
         hd_stats = {"decode_head": hd_stats} if hd_stats else {}
+    elif "panoptic_head.pixel_decoder.mask_feature.weight" in sd:
+        # mmdet COCO-panoptic Mask2Former: same head under `panoptic_head.`
+        # (the fusion head carries no parameters)
+        hd_params, _ = convert_mask2former_head(sd, prefix="panoptic_head.")
+        hd_params = {"decode_head": hd_params}
+        hd_stats = {}
+    elif "decode_head.transformer_decoder.post_norm.weight" in sd:
+        # MaskFormer (plain/encoder pixel decoder)
+        hd_params = {"decode_head": convert_maskformer_head(sd)}
+        hd_stats = {}
     else:
         hd_params, hd_stats = convert_upernet_heads(sd)
     params = {"backbone": bk_params, **hd_params}
