@@ -735,3 +735,65 @@ def test_segmentor_checkpoint_routing_maskformer_and_panoptic():
     sd2.update({"panoptic_head." + k: v2 for k, v2 in t2.state_dict().items()})
     v2 = convert_segmentor_checkpoint({"state_dict": sd2})
     assert "level_encoding" in v2["params"]["decode_head"]["pixel_decoder"]
+
+
+def test_atss_checkpoint_roundtrip():
+    """ATSS .pth conversion: start_level-1 FPN with on_output extra convs,
+    GN towers, scales — full init-tree coverage."""
+    import jax.numpy as jnp
+
+    from vitadapter.det.single_stage import ATSS
+    from vitadapter.models.vit_adapter import ViTAdapter
+    from vitadapter.utils.checkpoint import convert_detector_checkpoint
+
+    from torch_ref import ViTAdapterT
+
+    dim, C, K = 48, 64, 7
+    tb = ViTAdapterT(embed_dim=dim, depth=4, num_heads=4, pretrain_size=224,
+                     conv_inplane=16, deform_num_heads=6,
+                     interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)))
+    randomize(tb, 95)
+
+    class TowerM(torch.nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(cin, C, 3, 1, 1)
+            self.gn = torch.nn.GroupNorm(32, C)
+
+    class ScaleM(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.scale = torch.nn.Parameter(torch.ones(()))
+
+    full = torch.nn.Module()
+    neck = torch.nn.Module()
+    # start_level=1: 3 laterals; on_output extras = fpn_convs 3 and 4
+    neck.lateral_convs = torch.nn.ModuleList(
+        [_ConvM(dim, C, 1) for _ in range(3)])
+    neck.fpn_convs = torch.nn.ModuleList(
+        [_ConvM(C, C, 3) for _ in range(3)]
+        + [_ConvM(C, C, 3, stride=2) for _ in range(2)])
+    head = torch.nn.Module()
+    head.cls_convs = torch.nn.ModuleList([TowerM(C) for _ in range(4)])
+    head.reg_convs = torch.nn.ModuleList([TowerM(C) for _ in range(4)])
+    head.atss_cls = torch.nn.Conv2d(C, K, 3, 1, 1)
+    head.atss_reg = torch.nn.Conv2d(C, 4, 3, 1, 1)
+    head.atss_centerness = torch.nn.Conv2d(C, 1, 3, 1, 1)
+    head.scales = torch.nn.ModuleList([ScaleM() for _ in range(5)])
+    full.neck, full.bbox_head = neck, head
+    randomize(full, 96)
+
+    sd = {"backbone." + k: v for k, v in tb.state_dict().items()}
+    sd.update(full.state_dict())
+    variables = convert_detector_checkpoint({"state_dict": sd})
+
+    model = ATSS(
+        backbone=ViTAdapter(
+            patch_size=16, embed_dim=dim, depth=4, num_heads=4,
+            deform_num_heads=6, conv_inplane=16, pretrain_size=224,
+            interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3))),
+        num_classes=K, fpn_channels=C)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(0), img)
+    assert_full_coverage(variables["params"], init["params"])
+    assert_full_coverage(variables["batch_stats"], init["batch_stats"])

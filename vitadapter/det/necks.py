@@ -23,14 +23,23 @@ from vitadapter.utils.resize import resize_2d
 
 
 class FPN(nn.Module):
-    """Top-down FPN: 1x1 laterals + 3x3 output convs (+max-pool extras)."""
+    """Top-down FPN: 1x1 laterals + 3x3 output convs.
+
+    Extra levels follow mmdet: `extra='pool'` = kernel-1 stride-2 max-pool
+    of the last output (add_extra_convs=False — the Mask R-CNN / HTC++
+    configs); `extra='on_output'` = LEARNED 3x3 stride-2 convs chained on
+    the last output (the ATSS/GFL configs, which also set start_level=1 so
+    the pyramid runs strides 8..128)."""
 
     out_channels: int = 256
     num_outs: int = 5
+    start_level: int = 0
+    extra: str = "pool"  # 'pool' | 'on_output'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]):
+        feats = list(feats)[self.start_level:]
         L = len(feats)
         laterals = [
             nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
@@ -45,8 +54,16 @@ class FPN(nn.Module):
                     name=f"fpn_conv_{i}")(laterals[i])
             for i in range(L)
         ]
+        j = L
         while len(outs) < self.num_outs:
-            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+            if self.extra == "on_output":
+                outs.append(
+                    nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                            padding=1, dtype=self.dtype,
+                            name=f"fpn_conv_{j}")(outs[-1]))
+                j += 1
+            else:
+                outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return outs
 
 

@@ -203,8 +203,11 @@ class ATSS(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # reference ATSS/GFL configs: start_level=1 (drop stride 4) +
+        # add_extra_convs='on_output' -> pyramid strides 8..128 matching
+        # ATSS_STRIDES (`configs/atss/atss_deit_adapter_small...py:30-36`)
         self.neck = FPN(out_channels=self.fpn_channels, num_outs=5,
-                        dtype=self.dtype)
+                        start_level=1, extra="on_output", dtype=self.dtype)
         self.head = ATSSHead(num_classes=self.num_classes,
                              channels=self.fpn_channels,
                              reg_max=self.reg_max, dtype=self.dtype)

@@ -791,6 +791,10 @@ def convert_detector_checkpoint(ckpt):
         i = 0
         while f"{n}lateral_convs.{i}.conv.weight" in sd:  # FPN
             conv2d(f"{n}lateral_convs.{i}.conv", ("neck", f"lateral_{i}"))
+            i += 1
+        i = 0
+        while f"{n}fpn_convs.{i}.conv.weight" in sd:
+            # fpn_convs may outnumber laterals: add_extra_convs='on_output'
             conv2d(f"{n}fpn_convs.{i}.conv", ("neck", f"fpn_conv_{i}"))
             i += 1
         i = 0
@@ -801,6 +805,34 @@ def convert_detector_checkpoint(ckpt):
             _set(params, ("neck", f"gn_{i}", "bias"),
                  _t(sd[f"{n}convs.{i}.gn.bias"]))
             i += 1
+
+    # --- single-stage ATSS/GFL head ---
+    for fam in ("atss", "gfl"):
+        if f"bbox_head.{fam}_cls.weight" not in sd:
+            continue
+        dst = ("head",)
+        for tower, src_t in (("cls_tower", "cls_convs"),
+                             ("reg_tower", "reg_convs")):
+            i = 0
+            while f"bbox_head.{src_t}.{i}.conv.weight" in sd:
+                conv2d(f"bbox_head.{src_t}.{i}.conv",
+                       dst + (tower, f"conv_{i}"))
+                _set(params, dst + (tower, f"gn_{i}", "scale"),
+                     _t(sd[f"bbox_head.{src_t}.{i}.gn.weight"]))
+                _set(params, dst + (tower, f"gn_{i}", "bias"),
+                     _t(sd[f"bbox_head.{src_t}.{i}.gn.bias"]))
+                i += 1
+        conv2d(f"bbox_head.{fam}_cls", dst + ("atss_cls",))
+        conv2d(f"bbox_head.{fam}_reg", dst + ("atss_reg",))
+        if "bbox_head.atss_centerness.weight" in sd:
+            conv2d("bbox_head.atss_centerness", dst + ("atss_centerness",))
+        scales, i = [], 0
+        while f"bbox_head.scales.{i}.scale" in sd:
+            scales.append(float(_t(sd[f"bbox_head.scales.{i}.scale"])))
+            i += 1
+        if scales:
+            _set(params, dst + ("scales",), np.asarray(scales, np.float32))
+        return {"params": params, "batch_stats": stats}
 
     # --- RPN ---
     conv2d("rpn_head.rpn_conv", ("rpn_head", "rpn_conv"))
