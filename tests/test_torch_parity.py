@@ -797,3 +797,80 @@ def test_atss_checkpoint_roundtrip():
     init = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(0), img)
     assert_full_coverage(variables["params"], init["params"])
     assert_full_coverage(variables["batch_stats"], init["batch_stats"])
+
+
+def test_sparse_rcnn_checkpoint_roundtrip():
+    """Sparse R-CNN .pth conversion: EmbeddingRPNHead proposals + 6 DII
+    stages (attention, DynamicConv, towers) — full init-tree coverage."""
+    import jax.numpy as jnp
+
+    from vitadapter.det.sparse_rcnn import SparseRCNN
+    from vitadapter.models.vit_adapter import ViTAdapter
+    from vitadapter.utils.checkpoint import convert_detector_checkpoint
+
+    from torch_ref import ViTAdapterT
+
+    dim, C, K, NP = 48, 64, 7, 10
+    tb = ViTAdapterT(embed_dim=dim, depth=4, num_heads=4, pretrain_size=224,
+                     conv_inplane=16, deform_num_heads=6,
+                     interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)))
+    randomize(tb, 97)
+
+    class DIIT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attention = torch.nn.Module()
+            self.attention.attn = torch.nn.MultiheadAttention(C, 4)
+            self.attention_norm = torch.nn.LayerNorm(C)
+            ic = torch.nn.Module()
+            ic.dynamic_layer = torch.nn.Linear(C, C * 64 * 2)
+            ic.norm_in = torch.nn.LayerNorm(64)
+            ic.norm_out = torch.nn.LayerNorm(C)
+            ic.fc_layer = torch.nn.Linear(49 * C, C)
+            ic.fc_norm = torch.nn.LayerNorm(C)
+            self.instance_interactive_conv = ic
+            self.instance_interactive_conv_norm = torch.nn.LayerNorm(C)
+            self.ffn = torch.nn.Module()
+            self.ffn.layers = torch.nn.Sequential(
+                torch.nn.Sequential(torch.nn.Linear(C, 2048),
+                                    torch.nn.ReLU()),
+                torch.nn.Linear(2048, C))
+            self.ffn_norm = torch.nn.LayerNorm(C)
+            self.cls_fcs = torch.nn.ModuleList(
+                [torch.nn.Linear(C, C, bias=False), torch.nn.LayerNorm(C),
+                 torch.nn.ReLU()])
+            self.reg_fcs = torch.nn.ModuleList(sum(
+                [[torch.nn.Linear(C, C, bias=False), torch.nn.LayerNorm(C),
+                  torch.nn.ReLU()] for _ in range(3)], []))
+            self.fc_cls = torch.nn.Linear(C, K)
+            self.fc_reg = torch.nn.Linear(C, 4)
+
+    full = torch.nn.Module()
+    full.rpn_head = torch.nn.Module()
+    full.rpn_head.init_proposal_features = torch.nn.Embedding(NP, C)
+    full.rpn_head.init_proposal_bboxes = torch.nn.Embedding(NP, 4)
+    neck = torch.nn.Module()
+    neck.lateral_convs = torch.nn.ModuleList(
+        [_ConvM(dim, C, 1) for _ in range(4)])
+    neck.fpn_convs = torch.nn.ModuleList(
+        [_ConvM(C, C, 3) for _ in range(4)])
+    full.neck = neck
+    full.roi_head = torch.nn.Module()
+    full.roi_head.bbox_head = torch.nn.ModuleList(
+        [DIIT() for _ in range(2)])
+    randomize(full, 98)
+
+    sd = {"backbone." + k: v for k, v in tb.state_dict().items()}
+    sd.update(full.state_dict())
+    variables = convert_detector_checkpoint({"state_dict": sd})
+
+    model = SparseRCNN(
+        backbone=ViTAdapter(
+            patch_size=16, embed_dim=dim, depth=4, num_heads=4,
+            deform_num_heads=6, conv_inplane=16, pretrain_size=224,
+            interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3))),
+        num_classes=K, num_proposals=NP, num_stages=2, channels=C)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(0), img)
+    assert_full_coverage(variables["params"], init["params"])
+    assert_full_coverage(variables["batch_stats"], init["batch_stats"])

@@ -77,13 +77,19 @@ class DIIHead(nn.Module):
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.Dense(C, dtype=self.dtype, name="ffn_fc2")(nn.relu(y))
         x = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")(x + y)
+        # mmdet DIIHead towers: 1 cls fc / 3 reg fcs, each
+        # Linear(bias=False) + LN + ReLU
         c = x
         for i in range(1):
-            c = nn.relu(nn.Dense(C, dtype=self.dtype, name=f"cls_fc_{i}")(c))
+            c = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         name=f"cls_fc_{i}")(c)
+            c = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f"cls_ln_{i}")(c))
         cls = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc_cls")(c)
         r = x
-        for i in range(1):
-            r = nn.relu(nn.Dense(C, dtype=self.dtype, name=f"reg_fc_{i}")(r))
+        for i in range(3):
+            r = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                         name=f"reg_fc_{i}")(r)
+            r = nn.relu(nn.LayerNorm(epsilon=1e-5, name=f"reg_ln_{i}")(r))
         delta = nn.Dense(4, dtype=jnp.float32, name="fc_reg")(r)
         return cls, delta, x
 

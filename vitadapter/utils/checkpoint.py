@@ -806,6 +806,53 @@ def convert_detector_checkpoint(ckpt):
                  _t(sd[f"{n}convs.{i}.gn.bias"]))
             i += 1
 
+    # --- Sparse R-CNN (EmbeddingRPNHead + DII stages) ---
+    if "rpn_head.init_proposal_features.weight" in sd:
+        _set(params, ("init_proposal_features",),
+             _t(sd["rpn_head.init_proposal_features.weight"]))
+        _set(params, ("init_proposal_boxes",),
+             _t(sd["rpn_head.init_proposal_bboxes.weight"]))
+
+        def mha(src, dst):
+            w = _t(sd[src + ".in_proj_weight"])
+            b = _t(sd[src + ".in_proj_bias"])
+            Cd = w.shape[1]
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                _set(params, dst + (name, "kernel"),
+                     w[i * Cd:(i + 1) * Cd].T)
+                _set(params, dst + (name, "bias"), b[i * Cd:(i + 1) * Cd])
+            dense(src + ".out_proj", dst + ("out_proj",))
+
+        s = 0
+        while f"roi_head.bbox_head.{s}.fc_cls.weight" in sd:
+            src = f"roi_head.bbox_head.{s}"
+            dst = (f"stage_{s}",)
+            mha(src + ".attention.attn", dst + ("self_attn",))
+            ln(src + ".attention_norm", dst + ("norm_attn",))
+            ic = src + ".instance_interactive_conv"
+            dense(ic + ".dynamic_layer", dst + ("dynamic_conv",
+                                                "dynamic_layer"))
+            ln(ic + ".norm_in", dst + ("dynamic_conv", "norm1"))
+            ln(ic + ".norm_out", dst + ("dynamic_conv", "norm2"))
+            dense(ic + ".fc_layer", dst + ("dynamic_conv", "fc_out"))
+            ln(ic + ".fc_norm", dst + ("dynamic_conv", "norm3"))
+            ln(src + ".instance_interactive_conv_norm",
+               dst + ("norm_inter",))
+            dense(src + ".ffn.layers.0.0", dst + ("ffn_fc1",))
+            dense(src + ".ffn.layers.1", dst + ("ffn_fc2",))
+            ln(src + ".ffn_norm", dst + ("norm_ffn",))
+            # towers: ModuleList [Linear, LN, ReLU] repeated
+            for j in range(1):
+                dense(f"{src}.cls_fcs.{3 * j}", dst + (f"cls_fc_{j}",))
+                ln(f"{src}.cls_fcs.{3 * j + 1}", dst + (f"cls_ln_{j}",))
+            for j in range(3):
+                dense(f"{src}.reg_fcs.{3 * j}", dst + (f"reg_fc_{j}",))
+                ln(f"{src}.reg_fcs.{3 * j + 1}", dst + (f"reg_ln_{j}",))
+            dense(src + ".fc_cls", dst + ("fc_cls",))
+            dense(src + ".fc_reg", dst + ("fc_reg",))
+            s += 1
+        return {"params": params, "batch_stats": stats}
+
     # --- single-stage ATSS/GFL head ---
     for fam in ("atss", "gfl"):
         if f"bbox_head.{fam}_cls.weight" not in sd:
