@@ -78,10 +78,9 @@ def load_variables(path: str, cfg):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     mtype = cfg.model["type"]
-    if mtype == "GroundingDINO":
+    if mtype in ("GroundingDINO", "DINO"):
         return convert_grounding_dino_checkpoint(ckpt)
-    if mtype in ("MaskRCNN", "CascadeRCNN", "HybridTaskCascade",
-                 "HybridTaskCascadeAug"):
+    if mtype in ("MaskRCNN", "CascadeRCNN", "ATSS", "GFL", "SparseRCNN"):
         from vitadapter.utils.checkpoint import convert_detector_checkpoint
         return convert_detector_checkpoint(ckpt)
     return convert_segmentor_checkpoint(ckpt)

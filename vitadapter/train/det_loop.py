@@ -293,13 +293,25 @@ def _infer_one_aug(infer, img, scale, flip: bool):
     rh, rw = im2.shape[:2]
     if flip:
         im2 = im2[:, ::-1]
+    # pad to a /64 bucket of the RESIZED shape (the reference pads to /32 of
+    # it — `coco_instance.py:21`), clamped to the full-scale canvas: close to
+    # the reference protocol without one compile per image shape, and none
+    # of the up-to-3x zero-padding waste of a fixed canvas on extreme
+    # aspect ratios
     land, port = test_canvas(scale)
     ch, cw = land if rw >= rh else port
+    ch = min(-(-rh // 64) * 64, ch)
+    cw = min(-(-rw // 64) * 64, cw)
     x = np.zeros((ch, cw, 3), np.float32)
     x[:rh, :rw] = im2
     out = infer(jnp.asarray(x)[None])
     dets = {k: np.asarray(v[0]) for k, v in out.items()}
     boxes = dets["boxes"].astype(np.float32)
+    if "scores" in dets:
+        # suppress detections fully inside the zero-padded margin (the
+        # reference model never sees that region)
+        pad_det = (boxes[:, 0] >= rw) | (boxes[:, 1] >= rh)
+        dets["scores"] = np.where(pad_det, 0.0, dets["scores"])
     if flip:
         boxes = np.stack([rw - boxes[:, 2], boxes[:, 1],
                           rw - boxes[:, 0], boxes[:, 3]], -1)

@@ -947,12 +947,19 @@ def convert_detector_checkpoint(ckpt):
 
 
 def convert_grounding_dino_checkpoint(ckpt):
-    """Full reference wsdm2023 GroundingDINO checkpoint -> flax variables:
-    UniPerceiver-Adapter backbone + ChannelMapper neck + DINO transformer
-    head + CDN label embedding. Aux FPN seg-head keys (train-only branch)
-    are ignored."""
+    """Full reference DINO / GroundingDINO checkpoint -> flax variables:
+    backbone (UniPerceiver-Adapter, BEiT-Adapter or ViT-Adapter,
+    auto-detected) + ChannelMapper neck + DINO transformer head + CDN label
+    embedding. Aux FPN seg-head keys (train-only branch) are ignored."""
     sd = unwrap_state_dict(ckpt)
-    bk_params, bk_stats = convert_uniperceiver_backbone(sd, prefix="backbone.")
+    if "backbone.layers.0.self_attn.in_proj.weight" in sd:
+        bk_params, bk_stats = convert_uniperceiver_backbone(sd,
+                                                            prefix="backbone.")
+    elif "backbone.blocks.0.attn.q_bias" in sd:
+        bk_params, bk_stats = convert_beit_backbone(sd, prefix="backbone.")
+    else:
+        bk_params, bk_stats = convert_vit_adapter_backbone(sd,
+                                                           prefix="backbone.")
     head = convert_dino_head(sd, prefix="bbox_head.")
 
     neck: dict = {}
