@@ -91,12 +91,16 @@ def main():
 
 if __name__ == "__main__":
     # the axon terminal's Pallas compile helper fails in streaks (its libtpu
-    # init flakes with an HTTP 500); retry through short outages
+    # init flakes with an HTTP 500) and the tunnel itself can drop for
+    # minutes (backend init raises Unavailable); retry through short outages
     for _attempt in range(4):
         try:
             main()
             break
         except Exception as e:  # noqa: BLE001
-            if "remote_compile" not in str(e) or _attempt == 3:
+            transient = ("remote_compile" in str(e)
+                         or "UNAVAILABLE" in str(e)
+                         or "Unable to initialize backend" in str(e))
+            if not transient or _attempt == 3:
                 raise
             time.sleep(240)
