@@ -249,29 +249,72 @@ def run_eval(cfg, variables, dataset, aug_test: bool = False,
         slide_args = dict(crop_size=tuple(cfg.test_cfg["crop_size"]),
                           stride=tuple(cfg.test_cfg["stride"]))
 
-    cm = np.zeros((num_classes, num_classes), np.int64)
-    n = min(len(dataset), max_images or len(dataset))
-    bucket = cfg.get("test_cfg", {}).get("pad_bucket", 128)
-    for i in range(n):
-        img, seg = dataset.load(i)
-        x = jnp.asarray(img, jnp.float32)[None]
-        x, (H, W) = pad_to_bucket(x, bucket)
+    def batch_logits(x):
         if ms_cfg:
-            logits = multi_scale_flip_aug(
+            return multi_scale_flip_aug(
                 crop_logits, x, num_classes,
                 ratios=tuple(ms_cfg.get("img_ratios",
                                         (0.5, 0.75, 1.0, 1.25, 1.5, 1.75))),
                 flip=ms_cfg.get("flip", True), **slide_args)
-        elif mode == "slide":
-            logits = slide_inference(fn, x, tuple(cfg.test_cfg["crop_size"]),
-                                     tuple(cfg.test_cfg["stride"]),
-                                     num_classes)
-        else:
-            logits = fn(x)
-        pred = jnp.argmax(logits[:, :H, :W], axis=-1)[0]
-        cm += np.asarray(confusion_matrix(pred, jnp.asarray(seg), num_classes))
-        if (i + 1) % 50 == 0:
-            log_fn(f"eval {i+1}/{n}")
+        if mode == "slide":
+            return slide_inference(fn, x, tuple(cfg.test_cfg["crop_size"]),
+                                   tuple(cfg.test_cfg["stride"]),
+                                   num_classes)
+        return fn(x)
+
+    @jax.jit
+    def batch_cm(x, seg):
+        pred = jnp.argmax(batch_logits(x), axis=-1)
+        return confusion_matrix(pred, seg, num_classes)
+
+    # distributed evaluation (reference `dist_test.sh` / multi_gpu_test,
+    # SURVEY 3.2): images batch per pad-bucket shape and shard over the
+    # data mesh; the confusion-matrix scatter-add reduces across devices
+    # inside the jit. Padding labels with 255 makes batch slack exact.
+    from vitadapter.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    D = len(mesh.devices.reshape(-1))
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    n = min(len(dataset), max_images or len(dataset))
+    bucket = cfg.get("test_cfg", {}).get("pad_bucket", 128)
+    pending: Dict[tuple, list] = {}
+    done = 0
+
+    def flush(shape_key):
+        nonlocal cm, done
+        items = pending.pop(shape_key, [])
+        if not items:
+            return
+        k = sum(1 for _, _, real in items if real)
+        while len(items) % D:
+            im, sg, _ = items[-1]
+            items.append((im, sg, False))  # batch slack; masked below
+        xs = np.stack([im for im, _, real in items])
+        segs = np.stack([sg for _, sg, real in items])
+        for j, (_, _, real) in enumerate(items):
+            if not real:
+                segs[j][:] = 255  # all-ignore: contributes nothing
+        b = shard_batch(mesh, {"x": xs.astype(np.float32),
+                               "seg": segs.astype(np.int32)})
+        cm += np.asarray(batch_cm(b["x"], b["seg"]), np.int64)
+        done += k
+        if done % 50 < k or done == n:
+            log_fn(f"eval {done}/{n}")
+
+    for i in range(n):
+        img, seg = dataset.load(i)
+        x = jnp.asarray(img, jnp.float32)[None]
+        x, (H, W) = pad_to_bucket(x, bucket)
+        xp = np.asarray(x[0])
+        sp = np.full(xp.shape[:2], 255, np.int32)
+        sp[:H, :W] = np.asarray(seg)
+        key = xp.shape[:2]
+        pending.setdefault(key, []).append((xp, sp, True))
+        if len(pending[key]) == D:
+            flush(key)
+    for key in list(pending):
+        flush(key)
     metrics = miou_from_confusion(cm)
     log_fn(f"aAcc {metrics['aAcc']*100:.2f} | mIoU {metrics['mIoU']*100:.2f} "
            f"| mAcc {metrics['mAcc']*100:.2f}")
