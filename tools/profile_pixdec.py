@@ -82,7 +82,7 @@ def main():
     # --- one full encoder layer ---
     layer = DeformableEncoderLayer(num_heads=M, n_levels=L, n_points=P,
                                    ffn_dim=F, dtype=dt)
-    lv = jax.jit(layer.init)(jax.random.PRNGKey(0), x0, pos0, ref0, shapes)
+    lv = layer.init(jax.random.PRNGKey(0), x0, pos0, ref0, shapes)
 
     def run_layer(v, x, c):
         x = x + (c * 0).astype(x.dtype)
@@ -93,7 +93,7 @@ def main():
     # --- MSDA module (projections + kernel + glue) ---
     attn = MSDeformAttn(d_model=C, n_levels=L, n_heads=M, n_points=P,
                         dtype=dt)
-    av = jax.jit(attn.init)(jax.random.PRNGKey(1), x0, ref0, x0, shapes)
+    av = attn.init(jax.random.PRNGKey(1), x0, ref0, x0, shapes)
 
     def run_msda(v, x, c):
         x = x + (c * 0).astype(x.dtype)

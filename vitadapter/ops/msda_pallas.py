@@ -389,16 +389,20 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
             def _():
                 step(0, False)
         else:
-            def body(i, _, chunk_l=chunk_l, lo_al=lo_al, hi=hi):
-                c0 = lo_al + i * chunk_l
+            # DYNAMIC trip count: iterate only the band's actual chunks.
+            # The previous fixed-trip fori_loop over ALL HW//chunk positions
+            # with a pl.when guard per iteration cost ~400 cycles per
+            # SKIPPED iteration — measured as ~23 ms of pure overhead at
+            # pixel-decoder geometry (empty-bounds probe), i.e. the entire
+            # kernel time. A traced upper bound lowers to a hardware while
+            # loop whose skipped iterations simply never issue.
+            n_ch = jnp.maximum((hi - lo_al + chunk_l - 1) // chunk_l, 0)
 
-                @pl.when(c0 < hi)
-                def _():
-                    step(c0, True)
-
+            def body(i, _, chunk_l=chunk_l, lo_al=lo_al):
+                step(lo_al + i * chunk_l, True)
                 return 0
 
-            jax.lax.fori_loop(0, HW // chunk_l, body, 0)
+            jax.lax.fori_loop(0, n_ch, body, 0)
         start += HW
 
 
@@ -949,17 +953,15 @@ def _bwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
             # python-unrolled form made Mosaic hold every chunk's ~20 fp32
             # (T, chunk) arrays simultaneously (>100M scoped vmem at the
             # pixel-decoder geometry). Chunks are anchored at the tile's
-            # band start (see `_fwd_ml_kernel`).
-            def body(c, _, chunk_l=chunk_l, lo_al=lo_al, hi=hi):
-                c0 = lo_al + c * chunk_l
+            # band start and the trip count is DYNAMIC (see `_fwd_ml_kernel`:
+            # fixed-trip + pl.when cost ~400 cycles per skipped iteration).
+            n_ch = jnp.maximum((hi - lo_al + chunk_l - 1) // chunk_l, 0)
 
-                @pl.when(c0 < hi)
-                def _():
-                    chunk_step(c0, chunk_l, True)
-
+            def body(c, _, chunk_l=chunk_l, lo_al=lo_al):
+                chunk_step(lo_al + c * chunk_l, chunk_l, True)
                 return 0
 
-            jax.lax.fori_loop(0, HW // chunk_l, body, 0)
+            jax.lax.fori_loop(0, n_ch, body, 0)
         start += HW
     dg_ref[0] = dg_s[...]
 
