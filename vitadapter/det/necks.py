@@ -132,7 +132,8 @@ class ChannelMapperWithPooling(nn.Module):
         for i, f in enumerate(feats):
             y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                         dtype=self.dtype, name=f"conv_{i}")(f)
-            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name=f"gn_{i}")(y)
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=self.dtype, name=f"gn_{i}")(y)
             outs.append(y)
         while len(outs) < self.num_outs:
             outs.append(nn.max_pool(outs[-1], (2, 2), strides=(2, 2)))
@@ -156,7 +157,8 @@ class ChannelMapper(nn.Module):
         for i, f in enumerate(feats):
             y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                         dtype=self.dtype, name=f"conv_{i}")(f)
-            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name=f"gn_{i}")(y)
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=self.dtype, name=f"gn_{i}")(y)
             outs.append(y)
         src = feats[-1]
         j = 0
@@ -165,7 +167,7 @@ class ChannelMapper(nn.Module):
                         padding=1, use_bias=False, dtype=self.dtype,
                         name=f"extra_conv_{j}")(src)
             y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                             name=f"extra_gn_{j}")(y)
+                             dtype=self.dtype, name=f"extra_gn_{j}")(y)
             outs.append(y)
             src = y
             j += 1

@@ -38,7 +38,8 @@ class ConvTower(nn.Module):
         for i in range(self.num_convs):
             x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                         name=f"conv_{i}")(x)
-            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name=f"gn_{i}")(x)
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             dtype=self.dtype, name=f"gn_{i}")(x)
             x = nn.relu(x)
         return x
 

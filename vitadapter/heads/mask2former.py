@@ -73,15 +73,17 @@ class DecoderLayer(nn.Module):
         x = query + MultiheadAttention(self.num_heads, dtype=self.dtype,
                                        name="cross_attn")(
             query + query_pos, key + key_pos, key, attn_mask)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # dtype= keeps the post-norm query stream bf16 under mixed precision
+        # (stats still fp32 inside flax)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + MultiheadAttention(self.num_heads, dtype=self.dtype,
                                    name="self_attn")(
             x + query_pos, x + query_pos, x, None)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x + y)
         return x
 
 

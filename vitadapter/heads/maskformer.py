@@ -71,12 +71,14 @@ class TransformerEncoderPixelDecoder(nn.Module):
             a = MultiheadAttention(num_heads=self.num_heads,
                                    dtype=self.dtype,
                                    name=f"enc_attn_{i}")(x + pos, x + pos, x)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm1_{i}")(x + a)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"enc_norm1_{i}")(x + a)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype,
                          name=f"enc_fc1_{i}")(x)
             y = nn.Dense(self.feat_channels, dtype=self.dtype,
                          name=f"enc_fc2_{i}")(nn.relu(y))
-            x = nn.LayerNorm(epsilon=1e-5, name=f"enc_norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"enc_norm2_{i}")(x + y)
         memory = x.reshape(B, H, W, -1)
         y = ConvGN(self.feat_channels, kernel=3, act=True, dtype=self.dtype,
                    name="last_conv")(memory)
@@ -107,15 +109,15 @@ class DetrDecoderLayer(nn.Module):
         x = query + MultiheadAttention(self.num_heads, dtype=self.dtype,
                                        name="self_attn")(
             query + query_pos, query + query_pos, query, None)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + MultiheadAttention(self.num_heads, dtype=self.dtype,
                                    name="cross_attn")(
             x + query_pos, key + key_pos, key, attn_mask)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x + y)
         return x
 
 

@@ -48,11 +48,17 @@ class DeformableEncoderLayer(nn.Module):
                             dtype=self.dtype, name="attn")(
                                 x + pos, ref_points, x, spatial_shapes,
                                 query_segments=segs)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
+        # dtype= keeps the post-norm stream (the scan carry, (B, sumHW, C))
+        # in bf16 under mixed precision: without it the LN output — and with
+        # it the carried stream — is promoted to fp32, doubling the HBM
+        # traffic of every layer. Stats are still computed in fp32 inside
+        # flax regardless of dtype.
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
+            x + attn)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(y)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + y)
         return x
 
 
@@ -93,7 +99,8 @@ class ConvGN(nn.Module):
         pad = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel), padding=pad,
                     use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="gn")(x)
         return nn.relu(x) if self.act else x
 
 
