@@ -114,7 +114,7 @@ def _unpad_segments(out: jax.Array, segs, T: int) -> jax.Array:
 # tile size for the segmented (grid-structured-queries) path: smaller tiles
 # span fewer raster rows -> narrower bands (measured optimum at the
 # pixel-decoder geometry: 256 = 22.6 ms vs 512 = 29.2 ms vs old 30.9 ms)
-SEG_TILE = 256
+SEG_TILE = int(os.environ.get("VITADAPTER_MSDA_SEG_TILE", "256"))
 
 
 def _sample_kernel(y0_ref, x0_ref, wy_ref, wx_ref, v_ref, o_ref,
@@ -313,7 +313,7 @@ def _sample_level_pallas(value_bm: jax.Array, loc: jax.Array,
 
 
 def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
-                   *, shapes, D, T, P, chunk):
+                   *, shapes, D, T, P, chunk, G=1):
     """Unified multi-level P-folded forward: ONE program per (batch*head,
     query-tile) covers ALL levels and points, chunking the flattened
     (level, h, w) axis so the (T, chunk) one-hot intermediates stay
@@ -342,68 +342,80 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
             else jax.lax.Precision.DEFAULT)
     bm = pl.program_id(0)
     ti = pl.program_id(1)
+    nt = pl.num_programs(1)
     L = len(shapes)
-    base = (bm * pl.num_programs(1) + ti) * (2 * L)
-    y = y_ref[0]
-    x = x_ref[0]
-    a = a_ref[0]
-    o_ref[0] = jnp.zeros_like(o_ref[0])
-    start = 0
-    for lvl, (H, W) in enumerate(shapes):
-        HW = H * W
-        chunk_l = _level_chunk(H, W, chunk)
-        lo = bounds_ref[base + 2 * lvl]
-        hi = bounds_ref[base + 2 * lvl + 1]
-        # chunks ANCHORED at the tile's band start (dynamic, chunk-aligned):
-        # executed chunk count == ceil(band/chunk) regardless of where the
-        # band sits, vs fixed-position chunks whose granularity made the
-        # skip ineffective (a 17-row band straddling 16-row chunks ran 2-3)
-        lo_al = (lo // chunk_l) * chunk_l
+    for g in range(G):
+        # head-folded dispatch: one program covers G consecutive (batch*head)
+        # rows (blocks are 4-D with G as an untiled leading dim, so every
+        # outer array stays a pure reshape of the (BM, ...) layout). Program
+        # dispatch costs ~1.8us each (null-kernel probe: 4.8ms for 2688
+        # programs with NO body) — folding G=8 cuts that 8x while the
+        # per-head band bounds keep the executed VPU work identical.
+        base = ((bm * G + g) * nt + ti) * (2 * L)
+        y = y_ref[0, g]
+        x = x_ref[0, g]
+        a = a_ref[0, g]
+        o_ref[0, g] = jnp.zeros_like(o_ref[0, g])
+        start = 0
+        for lvl, (H, W) in enumerate(shapes):
+            HW = H * W
+            chunk_l = _level_chunk(H, W, chunk)
+            lo = bounds_ref[base + 2 * lvl]
+            hi = bounds_ref[base + 2 * lvl + 1]
+            # chunks ANCHORED at the tile's band start (dynamic,
+            # chunk-aligned): executed chunk count == ceil(band/chunk)
+            # regardless of where the band sits, vs fixed-position chunks
+            # whose granularity made the skip ineffective (a 17-row band
+            # straddling 16-row chunks ran 2-3)
+            lo_al = (lo // chunk_l) * chunk_l
 
-        def step(c0, dyn, lvl=lvl, W=W, start=start, chunk_l=chunk_l):
-            iota = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1) + c0
-            hof = iota // W
-            h_of = hof.astype(jnp.float32)
-            w_of = (iota - hof * W).astype(jnp.float32)
-            C = jnp.zeros((T, chunk_l), jnp.float32)
-            for p in range(P):
-                col = lvl * P + p
-                wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]),
-                                 0.0)
-                wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]),
-                                 0.0)
-                C = C + wy * wx * a[:, col:col + 1]
-            if dyn:
-                vc = v_ref[0, pl.ds(start + c0, chunk_l), :]
+            def step(c0, dyn, lvl=lvl, W=W, start=start, chunk_l=chunk_l,
+                     y=y, x=x, a=a, g=g):
+                iota = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1) \
+                    + c0
+                hof = iota // W
+                h_of = hof.astype(jnp.float32)
+                w_of = (iota - hof * W).astype(jnp.float32)
+                C = jnp.zeros((T, chunk_l), jnp.float32)
+                for p in range(P):
+                    col = lvl * P + p
+                    wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]),
+                                     0.0)
+                    wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]),
+                                     0.0)
+                    C = C + wy * wx * a[:, col:col + 1]
+                if dyn:
+                    vc = v_ref[0, g, pl.ds(start + c0, chunk_l), :]
+                else:
+                    vc = v_ref[0, g, start + c0:start + c0 + chunk_l, :]
+                o_ref[0, g] += jnp.dot(C.astype(dt), vc,
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec).astype(o_ref.dtype)
+
+            if chunk_l == HW:
+                # single-chunk level (no 128-aligned row chunking exists):
+                # static slice — a traced-start pl.ds of unaligned length is
+                # not sublane-legal in Mosaic
+                @pl.when(lo < hi)
+                def _():
+                    step(0, False)
             else:
-                vc = v_ref[0, start + c0:start + c0 + chunk_l, :]
-            o_ref[0] += jnp.dot(C.astype(dt), vc,
-                                preferred_element_type=jnp.float32,
-                                precision=prec).astype(o_ref.dtype)
+                # DYNAMIC trip count: iterate only the band's actual chunks.
+                # The previous fixed-trip fori_loop over ALL HW//chunk
+                # positions with a pl.when guard per iteration cost ~400
+                # cycles per SKIPPED iteration — measured as ~23 ms of pure
+                # overhead at pixel-decoder geometry (empty-bounds probe),
+                # i.e. the entire kernel time. A traced upper bound lowers
+                # to a hardware while loop whose skipped iterations simply
+                # never issue.
+                n_ch = jnp.maximum((hi - lo_al + chunk_l - 1) // chunk_l, 0)
 
-        if chunk_l == HW:
-            # single-chunk level (no 128-aligned row chunking exists):
-            # static slice — a traced-start pl.ds of unaligned length is
-            # not sublane-legal in Mosaic
-            @pl.when(lo < hi)
-            def _():
-                step(0, False)
-        else:
-            # DYNAMIC trip count: iterate only the band's actual chunks.
-            # The previous fixed-trip fori_loop over ALL HW//chunk positions
-            # with a pl.when guard per iteration cost ~400 cycles per
-            # SKIPPED iteration — measured as ~23 ms of pure overhead at
-            # pixel-decoder geometry (empty-bounds probe), i.e. the entire
-            # kernel time. A traced upper bound lowers to a hardware while
-            # loop whose skipped iterations simply never issue.
-            n_ch = jnp.maximum((hi - lo_al + chunk_l - 1) // chunk_l, 0)
+                def body(i, _, chunk_l=chunk_l, lo_al=lo_al, step=step):
+                    step(lo_al + i * chunk_l, True)
+                    return 0
 
-            def body(i, _, chunk_l=chunk_l, lo_al=lo_al):
-                step(lo_al + i * chunk_l, True)
-                return 0
-
-            jax.lax.fori_loop(0, n_ch, body, 0)
-        start += HW
+                jax.lax.fori_loop(0, n_ch, body, 0)
+            start += HW
 
 
 def _row_bounds(yq, shapes, T):
@@ -437,11 +449,17 @@ def _row_bounds(yq, shapes, T):
 
 # target flat chunk length (whole rows, see `_level_chunk`): small chunks +
 # anchored starts make the executed work track the actual band size
-ML_CHUNK = 256
-BWD_ML_CHUNK = 256
+ML_CHUNK = int(os.environ.get("VITADAPTER_MSDA_ML_CHUNK", "256"))
+BWD_ML_CHUNK = int(os.environ.get("VITADAPTER_MSDA_BWD_CHUNK", "256"))
 # value budget for keeping the whole multi-level tensor VMEM-resident per
 # program; above this fall back to the per-level kernels
 ML_MAX_VALUE_BYTES = 8 * 1024 * 1024
+# heads folded per program in the fused ML forward (dispatch amortization);
+# the effective G is the largest divisor of M <= ML_FOLD whose value block
+# fits ML_FOLD_VMEM (lane-padded estimate)
+ML_FOLD = int(os.environ.get("VITADAPTER_MSDA_FOLD", "8"))
+ML_FOLD_VMEM = int(os.environ.get("VITADAPTER_MSDA_FOLD_VMEM",
+                                  str(24 * 1024 * 1024)))
 _ML = os.environ.get("VITADAPTER_MSDA_ML", "1") == "1"
 
 
@@ -498,25 +516,41 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
     vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
     bounds = _row_bounds(yq, spatial_shapes, T)
 
+    # head folding: G consecutive (batch*head) rows per program (see
+    # `_fwd_ml_kernel`). Capped by a VMEM estimate — the value block is
+    # lane-padded to 128 AND double-buffered by Pallas across grid steps,
+    # so it occupies 2*G*S*128*itemsize resident bytes (measured: G=8 at
+    # pixdec fp32 = 22 MB/buffer blew the 64 MB scoped-vmem cap at 70 MB).
+    G = min(ML_FOLD, M)
+    lanes = max(D, 128)   # the value block is lane-padded to 128
+    while G > 1 and (M % G
+                     or 2 * G * S * lanes * value.dtype.itemsize
+                     > ML_FOLD_VMEM):
+        G -= 1
+
     out = pl.pallas_call(
         partial(_fwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
-                chunk=ML_CHUNK),
-        out_shape=jax.ShapeDtypeStruct((BM, nq_pad, D), jnp.float32),
+                chunk=ML_CHUNK, G=G),
+        out_shape=jax.ShapeDtypeStruct((BM // G, G, nq_pad, D), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(BM, nq_pad // T),
+            grid=(BM // G, nq_pad // T),
             in_specs=[
-                pl.BlockSpec((1, T, L * P), lambda b, t, *_: (b, t, 0)),
-                pl.BlockSpec((1, T, L * P), lambda b, t, *_: (b, t, 0)),
-                pl.BlockSpec((1, T, L * P), lambda b, t, *_: (b, t, 0)),
-                pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+                pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+                pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+                pl.BlockSpec((1, G, S, D), lambda b, t, *_: (b, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, T, D), lambda b, t, *_: (b, t, 0)),
+            out_specs=pl.BlockSpec((1, G, T, D), lambda b, t, *_: (b, 0, t, 0)),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=VMEM_LIMIT),
-    )(bounds, yq, xq, aq, vm)
+    )(bounds, yq.reshape(BM // G, G, nq_pad, L * P),
+      xq.reshape(BM // G, G, nq_pad, L * P),
+      aq.reshape(BM // G, G, nq_pad, L * P),
+      vm.reshape(BM // G, G, S, D))
+    out = out.reshape(BM, nq_pad, D)
     out = _unpad_segments(out, segs, T) if segs else out[:, :Lq]
     out = out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, M * D).astype(value.dtype)
