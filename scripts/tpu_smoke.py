@@ -114,16 +114,24 @@ def run_case(name, shapes, B, Lq, M, D, P, segs=None, *, dtype, check_grads):
     return ok
 
 
-def run_point_sample(dtype):
-    """Point-sample kernel (PointRend losses) at Mask2Former loss geometry:
-    fwd + dmask vs the XLA take-along reference, OOB points included."""
-    from vitadapter.ops.point_sample_pallas import point_sample_pallas
+def run_point_sample(dtype, tall=False):
+    """Point-sample kernel (PointRend losses): fwd + dmask vs the XLA
+    take-along reference, OOB points included. `tall` exercises the banded
+    forward (H=512 > PS_RC, scalar-prefetched row bounds, sorted points —
+    the gt label-resolution loss geometry)."""
+    from vitadapter.ops.point_sample_pallas import (point_sample_pallas,
+                                                    sort_points_by_y)
     from vitadapter.ops import point_sample as ps_mod
 
     rng = np.random.RandomState(7)
-    N, H, W, P = 24, 128, 128, 3136
+    if tall:
+        N, H, W, P = 8, 512, 512, 3136
+    else:
+        N, H, W, P = 24, 128, 128, 3136
     masks = jnp.asarray(rng.randn(N, H, W), dtype)
     pts = jnp.asarray(rng.rand(N, P, 2) * 1.1 - 0.05, jnp.float32)
+    if tall:
+        pts = sort_points_by_y(pts)
     g = jnp.asarray(rng.randn(N, P), jnp.float32)
 
     def ref(m, p):
@@ -163,7 +171,8 @@ def run_point_sample(dtype):
     gtol = 5e-5 if dtype == jnp.float32 else 4e-2
     ok = ok and gerr < gtol
     st = "OK" if ok else "FAIL"
-    print(f"  [{st}] point-sample  {np.dtype(dtype).name:8s} "
+    tag = "point-sample-512" if tall else "point-sample"
+    print(f"  [{st}] {tag:16s} {np.dtype(dtype).name:8s} "
           f"fwd {err:.2e} dmask {gerr:.2e}  {time.time() - t0:5.1f}s",
           flush=True)
     return ok
@@ -187,12 +196,13 @@ def main():
                       f"{type(e).__name__}: {e}", flush=True)
                 ok = False
             all_ok = all_ok and ok
-        try:
-            all_ok = run_point_sample(dtype) and all_ok
-        except Exception as e:  # noqa: BLE001
-            print(f"  [FAIL] point-sample {np.dtype(dtype)}: "
-                  f"{type(e).__name__}: {e}", flush=True)
-            all_ok = False
+        for tall in (False, True):
+            try:
+                all_ok = run_point_sample(dtype, tall=tall) and all_ok
+            except Exception as e:  # noqa: BLE001
+                print(f"  [FAIL] point-sample tall={tall} {np.dtype(dtype)}:"
+                      f" {type(e).__name__}: {e}", flush=True)
+                all_ok = False
     print("SMOKE " + ("PASS" if all_ok else "FAIL"), flush=True)
     return 0 if all_ok else 1
 

@@ -76,3 +76,48 @@ def test_nonmultiple_point_count_padding():
     p = point_sample_pallas(masks, pts)
     assert p.shape == (2, 13)
     assert float(jnp.abs(r - p).max()) < 1e-5
+
+
+def test_banded_tall_mask_sorted_and_unsorted():
+    """H > PS_RC takes the banded forward (scalar-prefetched row bounds,
+    dynamic chunk loop). Parity must hold both for row-sorted points (narrow
+    bands — the loss path) and unsorted ones (full-height bands)."""
+    from vitadapter.ops.point_sample_pallas import sort_points_by_y
+
+    rng = np.random.RandomState(3)
+    masks = jnp.asarray(rng.randn(2, 512, 64), jnp.float32)
+    pts = jnp.asarray(rng.rand(2, 4100, 2) * 1.1 - 0.05, jnp.float32)
+    for p in (pts, sort_points_by_y(pts)):
+        r = _xla_ref(masks, p)
+        out = point_sample_pallas(masks, p)
+        assert float(jnp.abs(r - out).max()) < 1e-5 * float(
+            jnp.abs(r).max() + 1)
+
+
+def test_banded_nonmultiple_height_and_empty_tiles():
+    """Rows pad to the chunk size (200 -> 256, zero rows) and a fully
+    out-of-bounds point tile must produce zero chunks, not garbage."""
+    rng = np.random.RandomState(4)
+    masks = jnp.asarray(rng.randn(1, 200, 32), jnp.float32)
+    pts = np.concatenate([
+        rng.rand(1, 2048, 2) * np.asarray([1.0, 0.1]),    # top rows
+        np.full((1, 2048, 2), 7.0),                       # tile fully OOB
+        rng.rand(1, 500, 2) * 0.2 + 0.8,                  # bottom rows
+    ], axis=1)
+    pts = jnp.asarray(pts, jnp.float32)
+    r = _xla_ref(masks, pts)
+    out = point_sample_pallas(masks, pts)
+    assert float(jnp.abs(r - out).max()) < 1e-5 * float(jnp.abs(r).max() + 1)
+    assert float(jnp.abs(out[:, 2048:4096]).max()) == 0.0
+
+
+def test_sort_points_by_y_preserves_point_set():
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray(rng.rand(3, 257, 2), jnp.float32)
+    from vitadapter.ops.point_sample_pallas import sort_points_by_y
+    s = sort_points_by_y(pts)
+    # same multiset of (x, y) pairs, y ascending
+    a = np.sort(np.asarray(pts).view(np.float32).reshape(3, 257, 2), axis=1)
+    b = np.sort(np.asarray(s).reshape(3, 257, 2), axis=1)
+    np.testing.assert_allclose(a, b)
+    assert bool((jnp.diff(s[..., 1], axis=-1) >= 0).all())

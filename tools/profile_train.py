@@ -64,32 +64,43 @@ def main():
     }
     rng = jax.random.PRNGKey(2)
 
-    # --- full step ---
+    # --- full step (donated state, threaded like the real loop: without
+    # donation two full optimizer states are alive at once -> HBM OOM) ---
     step = jax.jit(make_m2f_train_step(model, num_classes=150,
                                        max_instances=60,
-                                       num_points=args.num_points))
-    ms_full = timed(lambda st, b, r: step(st, b, r)[1]["loss"],
-                    (state, batch, rng))
+                                       num_points=args.num_points),
+                   donate_argnums=(0,))
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        state, m = step(state, batch, rng)
+    assert np.isfinite(float(m["loss"]))
+    ms_full = (time.perf_counter() - t0) / n * 1e3
     print(f"full train step          {ms_full:8.1f} ms/batch{B}")
 
-    # --- forward + loss only (no grad/optimizer) ---
-    def fwd_loss(params, b, r):
+    # --- model forward only (train mode, no loss/grad) ---
+    # (a combined fwd+loss-no-grad ablation measured slower than the FULL
+    # step: without the backward, XLA keeps all 10 layers' full-res mask
+    # logits alive for the loss instead of rematerializing, and the graph
+    # spills — so the forward is measured alone and the loss share comes
+    # from the stop-gradient ablations below)
+    def fwd_only(params, b, r):
         cls_list, mask_list = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             b["image"], train=True, mutable=False, rngs={"dropout": r},
             method=lambda m, x, train: m.decode_head(m.backbone(x),
                                                      train=train))
-        total, _ = ml.mask2former_loss(
-            r, cls_list, mask_list, b["label"], num_classes=150,
-            max_instances=60, num_points=args.num_points)
-        return total
+        return (cls_list[-1].astype(jnp.float32).mean()
+                + mask_list[-1].astype(jnp.float32).mean())
 
     try:
-        jl = jax.jit(fwd_loss)
+        jl = jax.jit(fwd_only)
         ms_fwd = timed(jl, (state.params, batch, rng))
-        print(f"fwd + loss (no grad)     {ms_fwd:8.1f} ms")
+        print(f"model fwd (train mode)   {ms_fwd:8.1f} ms")
     except Exception as e:
-        print(f"fwd+loss ERR {str(e)[:200]}")
+        print(f"model fwd ERR {str(e)[:200]}")
         ms_fwd = None
 
     # --- head outputs once, then loss-only ablations ---
@@ -126,8 +137,7 @@ def main():
     print(f"assignment (cost+LAP)    {ms_assign:8.1f} ms")
 
     if ms_fwd is not None:
-        print(f"=> backward+optimizer    {ms_full - ms_fwd:8.1f} ms")
-        print(f"=> fwd graph (less loss) {ms_fwd - ms_loss:8.1f} ms")
+        print(f"=> loss+bwd+optimizer    {ms_full - ms_fwd:8.1f} ms")
     print(f"=> per-layer losses      {ms_loss - ms_assign:8.1f} ms")
 
 

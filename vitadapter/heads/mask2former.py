@@ -130,7 +130,8 @@ class Mask2FormerHead(nn.Module):
             for i in range(2)
         ] + [nn.Dense(self.out_channels, dtype=self.dtype, name="mask_embed_2")]
 
-    def _forward_head(self, decoder_out, mask_feature, attn_size):
+    def _forward_head(self, decoder_out, mask_feature, attn_size,
+                      mask_feature_small=None):
         """cls logits, mask logits, attention mask for the next layer."""
         x = self.post_norm(decoder_out)
         cls_pred = self.cls_embed(x).astype(jnp.float32)
@@ -142,7 +143,18 @@ class Mask2FormerHead(nn.Module):
         # mask_feature: (B, H, W, C) NHWC
         mask_pred = jnp.einsum("bqc,bhwc->bqhw", m, mask_feature,
                                preferred_element_type=jnp.float32)
-        am = resize_hw(mask_pred, attn_size, "bilinear")
+        if mask_feature_small is not None:
+            # bilinear resize is linear in mask_feature and acts on the hw
+            # axes, which are free indices of the q-contraction — so the
+            # einsum against the ONCE-resized mask feature equals
+            # resize(mask_pred) up to float reassociation. At eval this
+            # makes the full-res (Q, H, W) mask_pred of every intermediate
+            # layer dead code (only the final layer's is consumed), replacing
+            # ten full-res einsums + downsamples with three small resizes.
+            am = jnp.einsum("bqc,bhwc->bqhw", m, mask_feature_small,
+                            preferred_element_type=jnp.float32)
+        else:
+            am = resize_hw(mask_pred, attn_size, "bilinear")
         B, Q = am.shape[0], am.shape[1]
         am = (jax.nn.sigmoid(am) < 0.5).reshape(B, Q, -1)
         # all-masked rows attend everywhere instead (reference :506-508)
@@ -177,10 +189,18 @@ class Mask2FormerHead(nn.Module):
         query_pos = jnp.broadcast_to(self.query_embed[None],
                                      (B,) + self.query_embed.shape)
 
+        # at eval, attention masks come from mask features pre-resized to the
+        # three memory scales (see `_forward_head`); at train the full-res
+        # mask logits are alive anyway (losses), so resizing them is cheaper
+        # than a second einsum
+        mf_small = (None if train else
+                    [resize_2d(mask_feature, s, "bilinear") for s in sizes])
+
         cls_list: List[jax.Array] = []
         mask_list: List[jax.Array] = []
         cls_pred, mask_pred, attn_mask = self._forward_head(
-            query, mask_feature, sizes[0])
+            query, mask_feature, sizes[0],
+            None if train else mf_small[0])
         cls_list.append(cls_pred)
         mask_list.append(mask_pred)
 
@@ -189,7 +209,8 @@ class Mask2FormerHead(nn.Module):
             query = layer(query, query_pos, dec_inputs[li], dec_pos[li],
                           attn_mask)
             cls_pred, mask_pred, attn_mask = self._forward_head(
-                query, mask_feature, sizes[(i + 1) % L])
+                query, mask_feature, sizes[(i + 1) % L],
+                None if train else mf_small[(i + 1) % L])
             cls_list.append(cls_pred)
             mask_list.append(mask_pred)
 

@@ -33,6 +33,7 @@ from vitadapter.ops.point_sample import (
     get_uncertain_point_coords,
     point_sample,
 )
+from vitadapter.ops.point_sample_pallas import sort_points_by_y
 
 
 def present_classes(label_map: jax.Array, num_classes: int,
@@ -100,13 +101,18 @@ def _assign_all_layers(rng, cls_all, mask_all, label_map, gt_labels,
     G = gt_labels.shape[1]
     h, w = mask_all.shape[3:]
     P = num_points
-    coords = jax.random.uniform(rng, (L, B, P, 2))
+    # row-sorted points: every cost below reduces over P, so the order is
+    # free — sorted points give the banded sampling kernel narrow bands
+    coords = sort_points_by_y(jax.random.uniform(rng, (L, B, P, 2)))
     # every query's mask sampled at its image's shared points
     # (flattened — point_sample's Pallas path can't be vmapped)
     c_bq = jnp.broadcast_to(coords[:, :, None],
                             (L, B, Q, P, 2)).reshape(L * B * Q, P, 2)
-    pred_pts = point_sample(mask_all.reshape(L * B * Q, h, w),
-                            c_bq).reshape(L, B, Q, P)
+    # bf16 sampling: cost-only (stop-gradient below), and fp32 masks would
+    # hit the HIGHEST-precision MXU path (see `_sample_per_query`)
+    pred_pts = point_sample(
+        mask_all.astype(jnp.bfloat16).reshape(L * B * Q, h, w),
+        c_bq).reshape(L, B, Q, P)
     # per-class gt indicators once; all layers' coords ride the P axis
     Hf, Wf = label_map.shape[1:]
     ind = (label_map[:, None] == gt_labels[:, :, None, None]).astype(
@@ -173,10 +179,16 @@ def loss_single_layer(
     # --- mask losses on matched queries ---
     num_total_masks = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
     # uncertainty-sampled points per query (no grad through selection)
+    # bf16 oversample sampling: selection-only (coords are detached), and
+    # the 3x-oversampled pool is the largest sampling call of the loss
     coords = get_uncertain_point_coords(
-        r_pts, jax.lax.stop_gradient(mask_pred).reshape(B * Q, *mask_pred.shape[2:]),
+        r_pts,
+        jax.lax.stop_gradient(mask_pred).astype(jnp.bfloat16).reshape(
+            B * Q, *mask_pred.shape[2:]),
         num_points, oversample_ratio, importance_sample_ratio)
-    coords = coords.reshape(B, Q, num_points, 2)
+    # mask/dice reduce over points -> order free; sorted rows make the
+    # banded sampling kernel cheap at the full label resolution
+    coords = sort_points_by_y(coords.reshape(B, Q, num_points, 2))
     pred_pts = _sample_per_query(mask_pred, coords)
     # gt indicator at the same points, for the assigned class of each query
     q_labels = jnp.where(pos, labels, num_classes + 1)  # never matches ignore
@@ -199,10 +211,16 @@ def loss_single_layer(
 
 
 def _sample_per_query(mask_pred: jax.Array, coords: jax.Array) -> jax.Array:
-    """mask_pred (B, Q, h, w), coords (B, Q, P, 2) -> (B, Q, P)."""
+    """mask_pred (B, Q, h, w), coords (B, Q, P, 2) -> (B, Q, P).
+
+    Sampling runs in bf16: fp32 masks put the Pallas contraction on the
+    HIGHEST-precision (multi-pass) MXU path, ~6x the bf16 MAC cost — at
+    loss scale that dominated the train step. The kernel accumulates in
+    fp32 either way; bf16 interpolation weights round at 2^-8, immaterial
+    for point losses (the reference trains this head in fp16 AMP)."""
     B, Q, h, w = mask_pred.shape
     P = coords.shape[2]
-    flat = mask_pred.reshape(B * Q, h, w)
+    flat = mask_pred.astype(jnp.bfloat16).reshape(B * Q, h, w)
     pts = coords.reshape(B * Q, P, 2)
     return point_sample(flat, pts).reshape(B, Q, P)
 
