@@ -24,6 +24,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -369,13 +370,19 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
             # straddling 16-row chunks ran 2-3)
             lo_al = (lo // chunk_l) * chunk_l
 
+            # chunk-invariant index pattern: the (h, w) decomposition of a
+            # chunk-aligned window repeats every chunk, so only a scalar
+            # row offset varies per chunk (saves the iota/div/mul-sub chain
+            # in every executed chunk)
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1)
+            hof0 = iota0 // W
+            h_of0 = hof0.astype(jnp.float32)
+            w_of0 = (iota0 - hof0 * W).astype(jnp.float32)
+
             def step(c0, dyn, lvl=lvl, W=W, start=start, chunk_l=chunk_l,
-                     y=y, x=x, a=a, g=g):
-                iota = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1) \
-                    + c0
-                hof = iota // W
-                h_of = hof.astype(jnp.float32)
-                w_of = (iota - hof * W).astype(jnp.float32)
+                     y=y, x=x, a=a, g=g, h_of0=h_of0, w_of0=w_of0):
+                h_of = h_of0 + (c0 // W)
+                w_of = w_of0
                 C = jnp.zeros((T, chunk_l), jnp.float32)
                 for p in range(P):
                     col = lvl * P + p
@@ -461,6 +468,179 @@ ML_FOLD = int(os.environ.get("VITADAPTER_MSDA_FOLD", "8"))
 ML_FOLD_VMEM = int(os.environ.get("VITADAPTER_MSDA_FOLD_VMEM",
                                   str(24 * 1024 * 1024)))
 _ML = os.environ.get("VITADAPTER_MSDA_ML", "1") == "1"
+# band-matmul forward (EXPERIMENTAL, default off): moves the per-point
+# (T, chunk) one-hot outer product onto the MXU via a (W, H*D) value layout
+# (see `_fwd_ml_bandmm_kernel`). Parity-validated on chip (fp32 2e-7 / bf16
+# 6e-3) but measured SLOWER than the flat path at pixel-decoder geometry
+# (31.7 vs 26.9 ms) — the theoretical ~2x VPU cut is eaten by the dynamic
+# lane slicing, the (P*T, rowsD) staging traffic, and the fori carry. Kept
+# env-gated for future Mosaic generations.
+_BANDMM = os.environ.get("VITADAPTER_MSDA_BANDMM", "0") == "1"
+
+
+def _bandmm_mode(H: int, W: int, D: int, chunk: int) -> bool:
+    """Per-level static path choice for the band-matmul forward.
+
+    VPU cost per executed chunk per point: band-matmul ~6 ops on
+    (T, rows*D) vs flat ~11 ops on (T, rows*W) -> band-matmul wins when
+    6*D < 11*W. Also requires a 128-aligned (rows*D) lane stride for the
+    dynamic value slice and actual row chunking to exist."""
+    chunk_l = _level_chunk(H, W, chunk)
+    rows = chunk_l // W
+    return (chunk_l != H * W and (rows * D) % 128 == 0
+            and 6 * D < 11 * W)
+
+
+def _fwd_ml_bandmm_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
+                          shapes, D, T, P, chunk, G, modes):
+    """Band-matmul multi-level forward (MXU-shifted one-hots).
+
+    The flat kernel's dominant cost is VPU: ~11 elementwise ops per
+    (query, grid-cell, point) building the bilinear one-hot C before one
+    MXU dot. This kernel never materializes C. Per level in band-matmul
+    mode, the value is pre-transposed host-side to (W, H*D) so that for
+    each row chunk [r0, r0+rows):
+
+        u_p   = relu(1-|w-x_p|) * a_p          (T, W)      VPU, per level
+        S_p   = u_p @ V2[:, r0*D:(r0+rows)*D]  (T, rows*D) MXU
+        A    += relu(1-|rd//D + r0 - y_p|)*S_p (T, rows*D) VPU (~6 ops)
+        out  += A @ tile(eye(D), rows)         (T, D)      MXU, constant
+
+    which is algebraically the same bilinear sum (the wy factor is applied
+    after the w-contraction; the block-identity dot folds the row axis).
+    VPU work per chunk-point drops from 11*(rows*W) to ~6*(rows*D) — ~2x at
+    pixel-decoder geometry where D=32, W=64 — and the (W, H*D) layout also
+    kills the 4x lane-padding of the (S, D=32) value block. Levels where
+    6*D >= 11*W (e.g. 16x16 at D=32) keep the flat path (refs carry one
+    value array per level, in that level's chosen layout).
+    """
+    dt = refs[0].dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    bm = pl.program_id(0)
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+    L = len(shapes)
+    v_refs = refs[:L]
+    o_ref = refs[L]
+    for g in range(G):
+        base = ((bm * G + g) * nt + ti) * (2 * L)
+        y = y_ref[0, g]
+        x = x_ref[0, g]
+        a = a_ref[0, g]
+        acc = jnp.zeros((T, D), jnp.float32)
+        for lvl, (H, W) in enumerate(shapes):
+            chunk_l = _level_chunk(H, W, chunk)
+            lo = bounds_ref[base + 2 * lvl]
+            hi = bounds_ref[base + 2 * lvl + 1]
+            vr = v_refs[lvl]
+            if modes[lvl]:
+                rows = chunk_l // W
+                rowsD = rows * D
+                # row-unit bounds (the flat bounds are multiples of W)
+                ro_lo = lo // W
+                ro_hi = hi // W
+                c0_al = ro_lo // rows        # first chunk index
+                n_ch = jnp.maximum(
+                    -(-(ro_hi - c0_al * rows) // rows), 0)
+                w_of = jax.lax.broadcasted_iota(
+                    jnp.int32, (T, W), 1).astype(jnp.float32)
+                rd_of = (jax.lax.broadcasted_iota(jnp.int32, (T, rowsD), 1)
+                         // D).astype(jnp.float32)
+                # block-identity tile(eye(D), rows) built from iotas (a
+                # captured np constant is not a legal kernel operand),
+                # compare-free: integer |k%D - d| >= 1 except on the
+                # diagonal, so the relu identity yields exact {0, 1}
+                ik = jax.lax.broadcasted_iota(jnp.int32, (rowsD, D), 0)
+                idd = jax.lax.broadcasted_iota(jnp.int32, (rowsD, D), 1)
+                msum = jnp.maximum(
+                    1.0 - jnp.abs(((ik % D) - idd).astype(jnp.float32)),
+                    0.0)
+                # the P points' w-one-hots stacked along sublanes: ONE
+                # (P*T, W) x (W, rowsD) dot per chunk instead of P small
+                # ones (dot issue overhead dominated the first cut)
+                us = []
+                for p in range(P):
+                    col = lvl * P + p
+                    wx = jnp.maximum(
+                        1.0 - jnp.abs(w_of - x[:, col:col + 1]), 0.0)
+                    us.append((wx * a[:, col:col + 1]).astype(dt))
+                U = jnp.concatenate(us, axis=0)              # (P*T, W)
+
+                def bstep(j, A_, c0_al=c0_al, rows=rows, rowsD=rowsD,
+                          vr=vr, U=U, y=y, lvl=lvl, rd_of=rd_of, g=g):
+                    ci = c0_al + j
+                    # index expressed as chunk_index * block_len so Mosaic
+                    # can prove 128-alignment of the lane offset
+                    v2c = vr[0, g, :, pl.ds(ci * rowsD, rowsD)]  # (W, rowsD)
+                    S = jax.lax.dot_general(
+                        U, v2c,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)                       # (P*T, rowsD)
+                    r0f = (ci * rows).astype(jnp.float32)
+                    for p in range(P):
+                        col = lvl * P + p
+                        wy = jnp.maximum(
+                            1.0 - jnp.abs(rd_of
+                                          - (y[:, col:col + 1] - r0f)),
+                            0.0)
+                        A_ = A_ + wy * S[p * T:(p + 1) * T]
+                    return A_
+
+                # the block-identity reduction distributes over the chunk
+                # sum -> ONE msum dot per level, hoisted out of the loop.
+                # dtype-matched precision: fp32 mode needs HIGHEST (DEFAULT
+                # rounds the fp32 accumulator into the MXU at bf16 —
+                # measured 2e-3 end-to-end); bf16 mode tolerates it
+                A = jax.lax.fori_loop(
+                    0, n_ch, bstep, jnp.zeros((T, rowsD), jnp.float32))
+                acc = acc + jax.lax.dot_general(
+                    A, msum,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
+            else:
+                # flat one-hot path for this level (value block (HW, D))
+                iota = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1)
+                hof0 = iota // W
+                h_of0 = hof0.astype(jnp.float32)
+                w_of = (iota - hof0 * W).astype(jnp.float32)
+
+                def fstep(c0, dyn, lvl=lvl, W=W, chunk_l=chunk_l,
+                          y=y, x=x, a=a, g=g, vr=vr, h_of0=h_of0,
+                          w_of=w_of):
+                    h_of = h_of0 + (c0 // W)
+                    C = jnp.zeros((T, chunk_l), jnp.float32)
+                    for p in range(P):
+                        col = lvl * P + p
+                        wy = jnp.maximum(
+                            1.0 - jnp.abs(h_of - y[:, col:col + 1]), 0.0)
+                        wx = jnp.maximum(
+                            1.0 - jnp.abs(w_of - x[:, col:col + 1]), 0.0)
+                        C = C + wy * wx * a[:, col:col + 1]
+                    if dyn:
+                        vc = vr[0, g, pl.ds(c0, chunk_l), :]
+                    else:
+                        vc = vr[0, g, 0:chunk_l, :]
+                    return jnp.dot(C.astype(dt), vc,
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+                if chunk_l == H * W:
+                    acc = acc + jnp.where(
+                        lo < hi, 1.0, 0.0) * fstep(0, False)
+                else:
+                    lo_al = (lo // chunk_l) * chunk_l
+                    n_ch = jnp.maximum(
+                        (hi - lo_al + chunk_l - 1) // chunk_l, 0)
+
+                    def body(i, acc_, chunk_l=chunk_l, lo_al=lo_al,
+                             fstep=fstep):
+                        return acc_ + fstep(lo_al + i * chunk_l, True)
+
+                    acc = jax.lax.fori_loop(0, n_ch, body, acc)
+        o_ref[0, g] = acc.astype(o_ref.dtype)
 
 
 def _pick_tile(Lq: int) -> int:
@@ -556,10 +736,111 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
+def _forward_ml_bandmm(value, spatial_shapes: SpatialShapes,
+                       sampling_locations, attention_weights,
+                       query_segments=None):
+    """Multi-level forward via `_fwd_ml_bandmm_kernel` (MXU-shifted
+    one-hots). Same contract as `_forward_ml`; the value ships as one array
+    per level — (W, H*D) transposed for band-matmul levels, (H*W, D) flat
+    otherwise."""
+    B, S, M, D = value.shape
+    Lq = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    BM = B * M
+    segs = _norm_segments(Lq, query_segments)
+    T = SEG_TILE if segs else _pick_tile(Lq)
+
+    locf = sampling_locations.astype(jnp.float32)
+    hw = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+    xy = locf * hw[None, None, None, :, None, :] - 0.5
+
+    def to_bmq(t):
+        t = t.reshape(B, Lq, M, L * P)
+        return jnp.moveaxis(t, 2, 1).reshape(BM, Lq, L * P)
+
+    xq = to_bmq(xy[..., 0])
+    yq = to_bmq(xy[..., 1])
+    aq = to_bmq(attention_weights.astype(jnp.float32))
+    if segs:
+        yq = _pad_segments(yq, segs, T, cv=-7)
+        xq = _pad_segments(xq, segs, T, cv=-7)
+        aq = _pad_segments(aq, segs, T)
+        nq_pad = yq.shape[1]
+    else:
+        nq_pad = -(-Lq // T) * T
+        if nq_pad != Lq:
+            pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+            yq = jnp.pad(yq, pad, constant_values=-7)
+            xq = jnp.pad(xq, pad, constant_values=-7)
+            aq = jnp.pad(aq, pad)
+    vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+    bounds = _row_bounds(yq, spatial_shapes, T)
+
+    modes = tuple(_bandmm_mode(H, W, D, ML_CHUNK)
+                  for H, W in spatial_shapes)
+    # VMEM gate for the head fold: per-g resident value bytes under the
+    # per-level layouts ((W, H*D) has no lane padding; flat pads D to 128),
+    # double-buffered by Pallas
+    per_g = sum((H * W * D if m else H * W * max(D, 128))
+                for (H, W), m in zip(spatial_shapes, modes))
+    per_g *= value.dtype.itemsize
+    G = min(ML_FOLD, M)
+    while G > 1 and (M % G or 2 * G * per_g > ML_FOLD_VMEM):
+        G -= 1
+
+    v_ops = []
+    in_specs = [
+        pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+        pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+        pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+    ]
+    start = 0
+    for (H, W), m in zip(spatial_shapes, modes):
+        vl = vm[:, start:start + H * W, :]
+        if m:
+            v2 = vl.reshape(BM // G, G, H, W, D).transpose(0, 1, 3, 2, 4)
+            v_ops.append(v2.reshape(BM // G, G, W, H * D))
+            in_specs.append(pl.BlockSpec((1, G, W, H * D),
+                                         lambda b, t, *_: (b, 0, 0, 0)))
+        else:
+            v_ops.append(vl.reshape(BM // G, G, H * W, D))
+            in_specs.append(pl.BlockSpec((1, G, H * W, D),
+                                         lambda b, t, *_: (b, 0, 0, 0)))
+        start += H * W
+
+    out = pl.pallas_call(
+        partial(_fwd_ml_bandmm_kernel, shapes=tuple(spatial_shapes), D=D,
+                T=T, P=P, chunk=ML_CHUNK, G=G, modes=modes),
+        out_shape=jax.ShapeDtypeStruct((BM // G, G, nq_pad, D), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BM // G, nq_pad // T),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, G, T, D), lambda b, t, *_: (b, 0, t, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(bounds, yq.reshape(BM // G, G, nq_pad, L * P),
+      xq.reshape(BM // G, G, nq_pad, L * P),
+      aq.reshape(BM // G, G, nq_pad, L * P),
+      *v_ops)
+    out = out.reshape(BM, nq_pad, D)
+    out = _unpad_segments(out, segs, T) if segs else out[:, :Lq]
+    out = out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, M * D).astype(value.dtype)
+
+
 def _forward(value, spatial_shapes: SpatialShapes, sampling_locations,
              attention_weights, query_segments=None):
     B, S, M, D = value.shape
     if _ML and S * D * value.dtype.itemsize <= ML_MAX_VALUE_BYTES:
+        if _BANDMM and any(_bandmm_mode(H, W, D, ML_CHUNK)
+                           for H, W in spatial_shapes):
+            return _forward_ml_bandmm(value, spatial_shapes,
+                                      sampling_locations, attention_weights,
+                                      query_segments)
         return _forward_ml(value, spatial_shapes, sampling_locations,
                            attention_weights, query_segments)
     Lq = sampling_locations.shape[1]
