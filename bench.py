@@ -20,6 +20,9 @@ import json
 import time
 
 import jax
+
+from vitadapter.utils.compilation_cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

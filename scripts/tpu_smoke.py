@@ -24,6 +24,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from vitadapter.utils.compilation_cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -17,6 +17,9 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+from vitadapter.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 KNOWN_METRICS = ("mIoU", "bbox", "segm", "PQ", "IoU")
 

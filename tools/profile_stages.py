@@ -19,6 +19,9 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from vitadapter.utils.compilation_cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -19,6 +19,10 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+from vitadapter.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train a model")
