@@ -8,6 +8,9 @@ data = dict(
     samples_per_chip=2,
     crop_size=[480, 480],
     scale=[520, 520],
+    # every reference pc ViT-Adapter config overrides the test pipeline to
+    # img_scale=(4096, 520) (e.g. upernet_beit_adapter_large_480_80k_..._ss.py)
+    test_scale=[4096, 520],
     ratio_range=[0.5, 2.0],
     cat_max_ratio=0.75,
 )

@@ -7,5 +7,7 @@ _base_ = [
     "../_base_/datasets/potsdam.py",
     "../_base_/schedules/schedule_80k.py",
 ]
-test_cfg = dict(mode="slide", crop_size=[512, 512], stride=[341, 341])
+test_cfg = dict(mode="slide", crop_size=[512, 512], stride=[341, 341],
+                # the reference config overrides the potsdam base test scale
+                img_scale=[2048, 512])
 pretrained = "pretrained/beit_large_patch16_224_pt22k_ft22k.pth"

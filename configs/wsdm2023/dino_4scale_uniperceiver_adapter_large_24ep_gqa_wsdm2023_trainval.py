@@ -9,4 +9,6 @@ data = dict(
     train=dict(ann_file="annotations/trainval.json", img_dir="images"),
     paraphrase_cache="data/wsdm2023/annotations/paraphrase_trainval.json",
 )
-tta = dict(scales=[0.75, 1.0, 1.25])
+# reference test pipeline MultiScaleFlipAug scale set + flip
+# (`dino_4scale_uniperceiver_adapter_*_wsdm2023.py:188`)
+tta = dict(scales=[[1333, 600], [1333, 800], [1333, 1000]], flip=True)

@@ -51,3 +51,41 @@ def test_mask_rcnn_trains_on_mesh(tmp_path):
     losses = [float(l.split("loss=")[1].split()[0])
               for l in lines if "loss=" in l]
     assert losses and all(np.isfinite(l) for l in losses), out
+
+
+def test_det_eval_mesh_matches_per_image(tmp_path, monkeypatch):
+    """Distributed detection eval (VERDICT r3 #4): (image, aug) work items
+    batch per canvas shape and shard over the 8-device mesh; metrics must be
+    identical to the per-image single-device path (reference
+    `multi_gpu_test`, detection/test.py:215-220)."""
+    import jax.numpy as jnp
+
+    from vitadapter.builder import build_model
+    from vitadapter.data.coco import CocoDataset
+    from vitadapter.data.preprocess import normalize
+    import vitadapter.train.det_loop as det_loop
+    from vitadapter.parallel.mesh import make_mesh as real_make_mesh
+
+    from test_det_tta import _make_coco, _tiny_det_cfg
+
+    assert len(jax.devices()) == 8
+    ann, img_dir = _make_coco(tmp_path, n=3)  # odd count -> slack padding
+    cfg = _tiny_det_cfg(ann, img_dir)
+    ds = CocoDataset(ann, img_dir)
+    model = build_model(dict(cfg.model))
+    img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), normalize(img0))
+
+    m8 = det_loop.run_det_eval(cfg, variables, ds,
+                               iou_types=("bbox", "segm"), aug_test=True,
+                               log_fn=lambda *_: None)
+
+    monkeypatch.setattr(det_loop, "make_mesh",
+                        lambda *a, **k: real_make_mesh(jax.devices()[:1]))
+    m1 = det_loop.run_det_eval(cfg, variables, ds,
+                               iou_types=("bbox", "segm"), aug_test=True,
+                               log_fn=lambda *_: None)
+    assert set(m8) == set(m1)
+    for k in m8:
+        np.testing.assert_allclose(m8[k], m1[k], rtol=0, atol=0,
+                                   err_msg=k)

@@ -138,7 +138,7 @@ class CocoDataset:
         path = os.path.join(self.img_dir, info["file_name"])
         img = np.asarray(Image.open(path).convert("RGB"))
         h, w = img.shape[:2]
-        boxes, labels, masks, crowd = [], [], [], []
+        boxes, labels, masks, crowd, areas = [], [], [], [], []
         for a in self.anns[im_id]:
             x, y, bw, bh = a["bbox"]
             if bw < 1 or bh < 1:
@@ -146,6 +146,9 @@ class CocoDataset:
             boxes.append([x, y, x + bw, y + bh])
             labels.append(self.cat_to_label[a["category_id"]])
             crowd.append(bool(a.get("iscrowd", 0)))
+            # COCOeval area-range gating uses the ANNOTATION area (the
+            # segmentation area), not the bbox area, even for bbox eval
+            areas.append(float(a.get("area", bw * bh)))
             if self.with_masks:
                 seg = a.get("segmentation")
                 if isinstance(seg, dict):
@@ -158,6 +161,7 @@ class CocoDataset:
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "labels": np.asarray(labels, np.int32),
             "iscrowd": np.asarray(crowd, bool),
+            "area": np.asarray(areas, np.float64),
             "masks": (np.stack(masks) if masks else
                       np.zeros((0, h, w), np.uint8)) if self.with_masks
                      else None,

@@ -10,11 +10,47 @@ the pipeline behind device compute (no process pool / pickling needed).
 
 import queue
 import threading
-from typing import Iterator
+from typing import Iterator, List
+
+import numpy as np
+
+
+# bound at import: at interpreter shutdown the `queue` module globals may
+# already be torn down when a prefetch generator finalizes
+_EMPTY = queue.Empty
 
 
 class _EndOfData:
     pass
+
+
+class EpochSampler:
+    """One global shuffle per epoch, consumed without replacement across all
+    prefetch threads (torch DistributedSampler semantics: every sample
+    appears exactly once per epoch, reshuffled with `seed + epoch`). Threads
+    pull index blocks under a lock, so batch composition interleaves across
+    threads but global per-epoch coverage is exact."""
+
+    def __init__(self, n: int, seed: int = 0):
+        self.n = n
+        self.seed = seed
+        self.epoch = 0
+        self.pos = 0
+        self.perm = np.random.RandomState(seed).permutation(n)
+        self.lock = threading.Lock()
+
+    def take(self, k: int) -> List[int]:
+        out: List[int] = []
+        with self.lock:
+            while len(out) < k:
+                if self.pos >= self.n:
+                    self.epoch += 1
+                    self.perm = np.random.RandomState(
+                        self.seed + self.epoch).permutation(self.n)
+                    self.pos = 0
+                out.append(int(self.perm[self.pos]))
+                self.pos += 1
+        return out
 
 
 def prefetch(make_iter, num_threads: int = 4, buffer: int = 8,
@@ -28,6 +64,10 @@ def prefetch(make_iter, num_threads: int = 4, buffer: int = 8,
     """
     q: "queue.Queue" = queue.Queue(maxsize=buffer)
     stop = threading.Event()
+    # LOCAL binding, made before the first yield: when this generator is
+    # finalized at interpreter shutdown, module globals (incl. `queue` and
+    # `_EMPTY`) may already be cleared — locals survive
+    empty_exc = _EMPTY
 
     def work(tid: int):
         try:
@@ -62,5 +102,5 @@ def prefetch(make_iter, num_threads: int = 4, buffer: int = 8,
         try:
             while True:
                 q.get_nowait()
-        except queue.Empty:
+        except empty_exc:
             pass

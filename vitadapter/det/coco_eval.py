@@ -68,9 +68,11 @@ def mask_iou(dets: np.ndarray, gts: np.ndarray,
 
 def _match_image(iou: np.ndarray, gt_ignore: np.ndarray, n_thr: int,
                  iscrowd: np.ndarray):
-    """Greedy matching per IoU threshold.
+    """Greedy matching per IoU threshold (pycocotools `evaluateImg` order).
 
-    iou (D, G) with detections already score-sorted. Returns
+    iou (D, G) with detections score-sorted and gts sorted ignored-LAST
+    (the caller permutes; pycocotools sorts gts by `_ignore` so the
+    early-break below never skips a live non-ignored gt). Returns
     (dt_matched (T, D) gt idx or -1, dt_ignore (T, D) bool).
     """
     D, G = iou.shape
@@ -83,8 +85,8 @@ def _match_image(iou: np.ndarray, gt_ignore: np.ndarray, n_thr: int,
             for g in range(G):
                 if gtm[g] >= 0 and not iscrowd[g]:
                     continue
-                # prefer non-ignored gts: once matched to a real gt, don't
-                # switch to an ignored one
+                # gts are ignored-last: once matched to a real gt, the
+                # remaining (all ignored) gts can't improve the match
                 if best >= 0 and not gt_ignore[best] and gt_ignore[g]:
                     break
                 if iou[d, g] < best_iou:
@@ -119,7 +121,7 @@ class COCOEvaluator:
         d_scores = np.asarray(dets["scores"], np.float64)
         d_labels = np.asarray(dets["labels"])
         keep = np.isfinite(d_scores)
-        order = np.argsort(-d_scores[keep], kind="mergesort")[: self.max_dets]
+        order = np.argsort(-d_scores[keep], kind="mergesort")
         di = np.where(keep)[0][order]
 
         g_boxes = np.asarray(gts["boxes"], np.float64)
@@ -128,42 +130,62 @@ class COCOEvaluator:
                                      np.zeros(len(g_labels), bool)), bool)
         g_valid = np.asarray(gts.get("valid",
                                      np.ones(len(g_labels), bool)), bool)
+        # COCOeval gates gts by the ANNOTATION area (the segmentation area,
+        # even in bbox mode) when the dataset provides it
+        g_ann_area = (np.asarray(gts["area"], np.float64)
+                      if gts.get("area") is not None else None)
 
         for c in range(self.K):
+            # store ALL dets score-sorted; pycocotools truncates to maxDets
+            # PER (image, category) at evaluate time, separately per budget
+            # (evaluateImg: `dt = dt[0:maxDet]` with useCats=1)
             dc = di[d_labels[di] == c]
             gc = np.where(g_valid & (g_labels == c))[0]
             if len(dc) == 0 and len(gc) == 0:
                 continue
             if self.iou_type == "segm":
-                iou = mask_iou(np.asarray(dets["masks"])[dc],
-                               np.asarray(gts["masks"])[gc], g_crowd[gc])
+                d_masks = np.asarray(dets["masks"])[dc]
+                iou = mask_iou(d_masks, np.asarray(gts["masks"])[gc],
+                               g_crowd[gc])
                 # reshape(0, -1) is ambiguous for an empty selection
                 g_area = (np.asarray(gts["masks"])[gc].reshape(
                     len(gc), -1).sum(-1).astype(np.float64)
                     if len(gc) else np.zeros(0, np.float64))
+                # segm det area = mask area (loadRes: maskUtils.area)
+                d_area = (d_masks.reshape(len(dc), -1).astype(bool)
+                          .sum(-1).astype(np.float64)
+                          if len(dc) else np.zeros(0, np.float64))
             else:
                 iou = box_iou(d_boxes[dc], g_boxes[gc], g_crowd[gc])
                 g_area = np.prod(np.clip(g_boxes[gc, 2:] - g_boxes[gc, :2],
                                          0, None), -1)
-            d_area = np.prod(np.clip(d_boxes[dc, 2:] - d_boxes[dc, :2],
-                                     0, None), -1)
+                d_area = np.prod(np.clip(d_boxes[dc, 2:] - d_boxes[dc, :2],
+                                         0, None), -1)
+            if g_ann_area is not None:
+                g_area = g_ann_area[gc]
             self._per_cat[c].append(dict(
                 scores=d_scores[dc], iou=iou, crowd=g_crowd[gc],
                 g_area=g_area, d_area=d_area))
 
-    def _evaluate_cat(self, records, area_rng):
-        """Returns (scores, tp, fp, n_gt) pooled over images, per threshold."""
+    def _evaluate_cat(self, records, area_rng, max_dets: int):
+        """Returns (tp, ignore, n_gt) pooled over images, per threshold."""
         lo, hi = area_rng
         all_scores, all_tp, all_ig, n_gt = [], [], [], 0
         for r in records:
             gt_ignore = r["crowd"] | (r["g_area"] < lo) | (r["g_area"] > hi)
             n_gt += int((~gt_ignore).sum())
-            dtm, dtig = _match_image(r["iou"], gt_ignore, len(IOU_THRS),
-                                     r["crowd"])
+            # per-(image, category) det budget (dets are score-sorted)
+            m = min(max_dets, len(r["scores"]))
+            # pycocotools sorts gts ignored-LAST per area range
+            # (evaluateImg: `gtind = np.argsort([g['_ignore'] ...])`)
+            g_ord = np.argsort(gt_ignore, kind="mergesort")
+            dtm, dtig = _match_image(r["iou"][:m][:, g_ord],
+                                     gt_ignore[g_ord], len(IOU_THRS),
+                                     r["crowd"][g_ord])
             # unmatched dets outside the area range are ignored, not FP
-            out_rng = (r["d_area"] < lo) | (r["d_area"] > hi)
+            out_rng = (r["d_area"][:m] < lo) | (r["d_area"][:m] > hi)
             dt_ignore = dtig | ((dtm < 0) & out_rng[None, :])
-            all_scores.append(r["scores"])
+            all_scores.append(r["scores"][:m])
             all_tp.append(dtm >= 0)
             all_ig.append(dt_ignore)
         if not all_scores or n_gt == 0:
@@ -175,39 +197,49 @@ class COCOEvaluator:
         tp, ig = tp[:, order], ig[:, order]
         return tp, ig, n_gt
 
+    def _ap_ar_cat(self, records, rng, max_dets: int):
+        """(per-threshold AP vector, AR) for one category/area/maxDets —
+        the pycocotools `accumulate` math."""
+        res = self._evaluate_cat(records, rng, max_dets)
+        if res is None:
+            return None
+        tp, ig, n_gt = res
+        keep = ~ig
+        ap_t = np.zeros(len(IOU_THRS))
+        recs = []
+        for t in range(len(IOU_THRS)):
+            tps = (tp[t] & keep[t]).astype(np.float64)
+            fps = (~tp[t] & keep[t]).astype(np.float64)
+            ctp = np.cumsum(tps)
+            cfp = np.cumsum(fps)
+            recall = ctp / n_gt
+            precision = ctp / np.maximum(ctp + cfp, 1e-9)
+            # monotone envelope
+            for i in range(len(precision) - 1, 0, -1):
+                precision[i - 1] = max(precision[i - 1], precision[i])
+            idx = np.searchsorted(recall, RECALL_THRS, side="left")
+            pr = np.zeros(len(RECALL_THRS))
+            ok = idx < len(precision)
+            pr[ok] = precision[idx[ok]]
+            ap_t[t] = pr.mean()
+            recs.append(recall[-1] if len(recall) else 0.0)
+        return ap_t, float(np.mean(recs))
+
     def summarize(self) -> Dict[str, float]:
         ap = np.full((len(IOU_THRS), len(AREA_RANGES), self.K), np.nan)
         ar = np.full((len(AREA_RANGES), self.K), np.nan)
+        ar_md = {md: np.full(self.K, np.nan) for md in (1, 10)}
         for c, records in self._per_cat.items():
             for ai, (name, rng) in enumerate(AREA_RANGES.items()):
-                res = self._evaluate_cat(records, rng)
+                res = self._ap_ar_cat(records, rng, self.max_dets)
                 if res is None:
                     continue
-                tp, ig, n_gt = res
-                keep = ~ig
-                for t in range(len(IOU_THRS)):
-                    tps = (tp[t] & keep[t]).astype(np.float64)
-                    fps = (~tp[t] & keep[t]).astype(np.float64)
-                    ctp = np.cumsum(tps)
-                    cfp = np.cumsum(fps)
-                    recall = ctp / n_gt
-                    precision = ctp / np.maximum(ctp + cfp, 1e-9)
-                    # monotone envelope
-                    for i in range(len(precision) - 1, 0, -1):
-                        precision[i - 1] = max(precision[i - 1], precision[i])
-                    idx = np.searchsorted(recall, RECALL_THRS, side="left")
-                    pr = np.zeros(len(RECALL_THRS))
-                    ok = idx < len(precision)
-                    pr[ok] = precision[idx[ok]]
-                    ap[t, ai, c] = pr.mean()
-                    if ai == 0 and t == 0:
-                        pass
-                # recall at max_dets averaged over thresholds (area range)
-                recs = []
-                for t in range(len(IOU_THRS)):
-                    tps = (tp[t] & keep[t])
-                    recs.append(tps.sum() / n_gt)
-                ar[ai, c] = float(np.mean(recs))
+                ap[:, ai, c], ar[ai, c] = res
+            # AR@{1,10}: 'all' area at smaller per-(image,cat) det budgets
+            for md in ar_md:
+                res = self._ap_ar_cat(records, AREA_RANGES["all"], md)
+                if res is not None:
+                    ar_md[md][c] = res[1]
 
         def m(x):
             return float(np.nanmean(x)) if np.isfinite(x).any() else float("nan")
@@ -220,5 +252,10 @@ class COCOEvaluator:
             "mAP_s": m(ap[:, 1]),
             "mAP_m": m(ap[:, 2]),
             "mAP_l": m(ap[:, 3]),
+            "AR@1": m(ar_md[1]),
+            "AR@10": m(ar_md[10]),
             "AR@100": m(ar[0]),
+            "AR_s": m(ar[1]),
+            "AR_m": m(ar[2]),
+            "AR_l": m(ar[3]),
         }

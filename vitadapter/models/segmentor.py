@@ -121,21 +121,39 @@ def multi_scale_flip_aug(
     size_divisor: int = 32,
     crop_size: Optional[Tuple[int, int]] = None,
     stride: Optional[Tuple[int, int]] = None,
+    img_scale: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
-    """Multi-scale (+flip) TTA: average class probabilities at the original
-    resolution (reference `EncoderDecoderMask2Former.aug_test:268-285` and
-    the `--aug-test` ratio list in `segmentation/test.py:131-136`).
+    """In-jit multi-scale (+flip) TTA over a fixed-size batch (reference
+    `EncoderDecoderMask2Former.aug_test:268-285`; ratio list
+    `segmentation/test.py:131-136`).
 
-    Each ratio is a static compiled shape; slide inference is used when
-    crop/stride are given and the scaled image exceeds the crop.
+    Ratio anchoring follows mmseg MultiScaleFlipAug mode 2: when `img_scale`
+    is given, each ratio scales the img_scale *canvas* and the image is
+    keep-ratio fitted into it (then resized to the /32 multiple, as the
+    reference test pipelines' ResizeToMultiple does); without `img_scale`
+    the ratios multiply the static input size directly (a non-protocol
+    fallback for callers with pre-scaled inputs). Matching the reference
+    `inference` order, per-aug logits are resized back to the input
+    resolution BEFORE softmax/unflip.
+
+    NOTE: the faithful per-image eval protocol (true ori_shape, odd sizes)
+    lives in `models/seg_protocol.py` + `train/loop.run_eval`; this helper
+    serves in-jit TTA of fixed-shape batches.
     """
+    from vitadapter.models.seg_protocol import (rescale_size, to_multiple,
+                                                variant_plan)
     from vitadapter.utils.resize import resize_2d
 
     B, H, W, _ = img.shape
     acc = jnp.zeros((B, H, W, num_classes), jnp.float32)
     for r in ratios:
-        h = max(int(round(H * r / size_divisor)) * size_divisor, size_divisor)
-        w = max(int(round(W * r / size_divisor)) * size_divisor, size_divisor)
+        if img_scale is not None:
+            _, (h, w) = variant_plan(H, W, img_scale, r, size_divisor)
+        else:
+            h = max(int(round(H * r / size_divisor)) * size_divisor,
+                    size_divisor)
+            w = max(int(round(W * r / size_divisor)) * size_divisor,
+                    size_divisor)
         scaled = resize_2d(img, (h, w), "bilinear")
         variants = [scaled, scaled[:, :, ::-1]] if flip else [scaled]
         for vi, v in enumerate(variants):
@@ -144,10 +162,11 @@ def multi_scale_flip_aug(
                                          stride or crop_size, num_classes)
             else:
                 logits = logits_fn(v)
-            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            p = resize_2d(logits.astype(jnp.float32), (H, W), "bilinear")
+            p = jax.nn.softmax(p, axis=-1)
             if vi == 1:
                 p = p[:, :, ::-1]
-            acc = acc + resize_2d(p, (H, W), "bilinear")
+            acc = acc + p
     return acc / (len(ratios) * (2 if flip else 1))
 
 

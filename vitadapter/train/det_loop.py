@@ -42,7 +42,8 @@ def build_det_dataset(data_cfg: Dict[str, Any], split: str,
 
 
 def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0,
-                      tokenizer=None) -> Iterator[Dict[str, np.ndarray]]:
+                      tokenizer=None,
+                      sampler=None) -> Iterator[Dict[str, np.ndarray]]:
     """Reference-fidelity det pipeline into static-shape batches:
     RandomFlip -> AutoAugment (11-scale short-edge resize | resize ->
     absolute_range crop -> resize) -> crop/pad to the static canvas
@@ -69,13 +70,19 @@ def det_train_batches(dataset, data_cfg, batch_size: int, seed: int = 0,
     order = rng.permutation(n)
     pos = 0
     while True:
+        if sampler is not None:
+            idxs = sampler.take(batch_size)
+        else:
+            idxs = []
+            for _ in range(batch_size):
+                if pos >= n:
+                    order = rng.permutation(n)
+                    pos = 0
+                idxs.append(int(order[pos]))
+                pos += 1
         imgs, targets, refs = [], [], []
-        for _ in range(batch_size):
-            if pos >= n:
-                order = rng.permutation(n)
-                pos = 0
-            img, t = dataset.load(int(order[pos]))
-            pos += 1
+        for idx in idxs:
+            img, t = dataset.load(idx)
             flip = bool(rng.rand() < 0.5)
             img2, boxes, masks, keep = T.det_train_transform(
                 rng, img, t["boxes"].astype(np.float32), t.get("masks"),
@@ -201,10 +208,11 @@ def run_det_training(cfg, work_dir: str, max_iters: Optional[int] = None,
         if is_grounding:
             from vitadapter.data.tokenization import ClipTokenizer
             tok = ClipTokenizer(cfg.data.get("bpe_vocab"))
-        from vitadapter.data.loader import prefetch
+        from vitadapter.data.loader import EpochSampler, prefetch
+        sampler = EpochSampler(len(ds), seed=0)
         it = prefetch(
             lambda s: det_train_batches(ds, cfg.data, batch, seed=s,
-                                        tokenizer=tok),
+                                        tokenizer=tok, sampler=sampler),
             num_threads=cfg.data.get("workers", 4))
 
     rng = jax.random.PRNGKey(1)
@@ -284,28 +292,33 @@ def test_canvas(scale, size_divisor: int = 32):
     return (short_p, long_p), (long_p, short_p)
 
 
-def _infer_one_aug(infer, img, scale, flip: bool):
-    """Keep-ratio resize + optional hflip + pad to the static canvas; run the
-    model; return detections mapped back to the ORIGINAL image frame
-    (reference `bbox_mapping_back`: unflip in the aug frame, then unscale)."""
+def _prep_one_aug(img, scale, flip: bool):
+    """Host half of one aug: keep-ratio resize + optional hflip + pad to the
+    static canvas. Returns (padded input, meta for mapping back).
+
+    Padding goes to a /64 bucket of the RESIZED shape (the reference pads to
+    /32 of it — `coco_instance.py:21`), clamped to the full-scale canvas:
+    close to the reference protocol without one compile per image shape, and
+    none of the up-to-3x zero-padding waste of a fixed canvas on extreme
+    aspect ratios."""
     h0, w0 = img.shape[:2]
     im2, _ = T.resize_keep_ratio(img, None, scale)
     rh, rw = im2.shape[:2]
     if flip:
         im2 = im2[:, ::-1]
-    # pad to a /64 bucket of the RESIZED shape (the reference pads to /32 of
-    # it — `coco_instance.py:21`), clamped to the full-scale canvas: close to
-    # the reference protocol without one compile per image shape, and none
-    # of the up-to-3x zero-padding waste of a fixed canvas on extreme
-    # aspect ratios
     land, port = test_canvas(scale)
     ch, cw = land if rw >= rh else port
     ch = min(-(-rh // 64) * 64, ch)
     cw = min(-(-rw // 64) * 64, cw)
     x = np.zeros((ch, cw, 3), np.float32)
     x[:rh, :rw] = im2
-    out = infer(jnp.asarray(x)[None])
-    dets = {k: np.asarray(v[0]) for k, v in out.items()}
+    return x, (rh, rw, flip, h0, w0)
+
+
+def _map_back_one_aug(dets, meta):
+    """Device-output half: map detections back to the ORIGINAL image frame
+    (reference `bbox_mapping_back`: unflip in the aug frame, then unscale)."""
+    rh, rw, flip, h0, w0 = meta
     boxes = dets["boxes"].astype(np.float32)
     if "scores" in dets:
         # suppress detections fully inside the zero-padded margin (the
@@ -344,12 +357,20 @@ def paste_mask_crops(dets: Dict[str, np.ndarray], H: int, W: int) -> np.ndarray:
 def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
                  aug_test: bool = False, max_images: Optional[int] = None,
                  log_fn=print):
-    """Per-image inference -> COCO-protocol metrics.
+    """Batched, mesh-distributed inference -> COCO-protocol metrics
+    (reference `multi_gpu_test`, `detection/test.py:215-220`).
 
     Protocol fidelity: images are keep-ratio resized to
     ``test_cfg.img_scale`` (default (1333, 800), the reference test pipeline
     `coco_instance.py:10,20`) and padded to one of two static canvases, then
     detections are rescaled to the original frame.
+
+    Distribution: (image, aug) work items group by canvas shape; each group
+    batches `n_devices` inputs and shards over the data mesh, so per-aug
+    inference rides the mesh exactly like seg eval. Results are merged per
+    image on the host once all of its augs complete — metrics are identical
+    to the per-image path (the model is per-image; batching only packs the
+    leading axis).
 
     With ``aug_test`` and a ``tta`` config dict, runs the reference HTC-Aug
     multi-scale+flip protocol (`htc_aug.py:203-241`): per-aug inference,
@@ -379,17 +400,28 @@ def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
             if ranges is not None else None)
     else:
         scales, flips, per_aug_ranges = [img_scale], (False,), None
+    augs = [(s, f) for s in scales for f in flips]
+
+    mesh = make_mesh()
+    D = len(mesh.devices.reshape(-1))
 
     @jax.jit
     def infer(img):
         return model.apply(variables, normalize(img))
 
     n = min(len(dataset), max_images or len(dataset))
-    for i in range(n):
-        img, gts = dataset.load(i)
-        H, W = img.shape[:2]
-        per_aug = [_infer_one_aug(infer, img, s, f)
-                   for s in scales for f in flips]
+    # per-image completion state + canvas-keyed work pools
+    results: Dict[int, list] = {}
+    remaining: Dict[int, int] = {}
+    per_img: Dict[int, tuple] = {}  # (H, W, gts)
+    pending: Dict[tuple, list] = {}
+    done = 0
+
+    def finalize(ii):
+        nonlocal done
+        per_aug = results.pop(ii)
+        H, W, gts = per_img.pop(ii)
+        del remaining[ii]
         if aug_test:
             dets = merge_aug_detections(
                 per_aug, scale_ranges=per_aug_ranges,
@@ -402,8 +434,42 @@ def run_det_eval(cfg, variables, dataset, iou_types=("bbox",),
             gts = dict(gts)
         for t, ev in evaluators.items():
             ev.add_image(dets, gts)
-        if (i + 1) % 100 == 0:
-            log_fn(f"eval {i+1}/{n}")
+        done += 1
+        if done % 100 == 0 or done == n:
+            log_fn(f"eval {done}/{n}")
+
+    def flush(key):
+        items = pending.pop(key, [])
+        if not items:
+            return
+        k_real = len(items)
+        while len(items) % D:
+            items.append(items[-1])  # batch slack; results discarded
+        xs = np.stack([x for x, *_ in items])
+        b = shard_batch(mesh, {"x": xs})
+        out = {k: np.asarray(v) for k, v in infer(b["x"]).items()}
+        for j in range(k_real):
+            _, meta, ii, ai = items[j]
+            dets = _map_back_one_aug(
+                {k: v[j].copy() for k, v in out.items()}, meta)
+            results[ii][ai] = dets
+            remaining[ii] -= 1
+            if remaining[ii] == 0:
+                finalize(ii)
+
+    for i in range(n):
+        img, gts = dataset.load(i)
+        results[i] = [None] * len(augs)
+        remaining[i] = len(augs)
+        per_img[i] = (img.shape[0], img.shape[1], gts)
+        for ai, (s, f) in enumerate(augs):
+            x, meta = _prep_one_aug(img, s, f)
+            key = x.shape[:2]
+            pending.setdefault(key, []).append((x, meta, i, ai))
+            if len(pending[key]) == D:
+                flush(key)
+    for key in list(pending):
+        flush(key)
     metrics = {}
     for t, ev in evaluators.items():
         metrics.update(ev.summarize())
@@ -421,6 +487,7 @@ def run_grounding_eval(cfg, variables, dataset, aug_test: bool = False,
     `wsdm2023/mmdet_custom/datasets/vg_dataset.py:45-100` protocol.
     """
     from vitadapter.data.grounding import grounding_metrics
+    from vitadapter.data.tokenization import random_flip_refer
     from vitadapter.det.grounding_dino import aug_test_vote
 
     model = build_model(dict(cfg.model))
@@ -431,11 +498,22 @@ def run_grounding_eval(cfg, variables, dataset, aug_test: bool = False,
     max_sent = cfg.data.get("max_sent_len", 128)
     # reference test protocol: keep-ratio resize to img_scale (wsdm2023
     # `configs/_base_/datasets/wsdm2023.py:13,26` = (1333, 800)); TTA runs
-    # the ratio-scaled set of the same static canvases
+    # the config's scale set + flip (the wsdm configs' test pipeline
+    # MultiScaleFlipAug: img_scale=[(1333, 600), (1333, 800), (1333, 1000)],
+    # flip=True, and RandomFlipWithRefer swaps left/right in the question
+    # on the flipped variant)
     img_scale = tuple(cfg.get("test_cfg", {}).get("img_scale", (1333, 800)))
-    tta_ratios = (0.75, 1.0, 1.25) if aug_test else (1.0,)
-    tta_scales = [(int(max(img_scale) * r), int(min(img_scale) * r))
-                  for r in tta_ratios]
+    tta = dict(cfg.get("tta", {})) if aug_test else {}
+    if aug_test:
+        raw = tta.get("scales", [(1333, 600), (1333, 800), (1333, 1000)])
+        # scale entries: (long, short) pairs, or floats = ratios of img_scale
+        tta_scales = [
+            tuple(s) if isinstance(s, (tuple, list))
+            else (int(max(img_scale) * s), int(min(img_scale) * s))
+            for s in raw]
+        flips = (False, True) if tta.get("flip", True) else (False,)
+    else:
+        tta_scales, flips = [img_scale], (False,)
 
     @jax.jit
     def infer(img, ids, mask):
@@ -445,29 +523,39 @@ def run_grounding_eval(cfg, variables, dataset, aug_test: bool = False,
     n = min(len(dataset), max_images or len(dataset))
     for i in range(n):
         img, t = dataset.load(i)
-        ids, r_mask = tok.tokenize_refer(t.get("question", ""), max_sent)
-        ids = jnp.asarray(ids, jnp.int32)[None]
-        r_mask = jnp.asarray(r_mask, jnp.int32)[None]
-        per_scale = []
+        question = t.get("question", "")
+        toks = {
+            False: tok.tokenize_refer(question, max_sent),
+            True: tok.tokenize_refer(random_flip_refer(question), max_sent),
+        }
+        per_aug = []
         for scale in tta_scales:
             im2, _ = T.resize_keep_ratio(img, None, scale)
             rh, rw = im2.shape[:2]
             land, port = test_canvas(scale)
             ch, cw = land if rw >= rh else port
-            x = np.zeros((ch, cw, 3), np.float32)
-            x[:rh, :rw] = im2
-            out = infer(jnp.asarray(x)[None], ids, r_mask)
-            res = {k: np.asarray(v[0]) for k, v in out.items()}
-            sy = img.shape[0] / rh
-            sx = img.shape[1] / rw
-            res["boxes"] = res["boxes"] * np.asarray([sx, sy, sx, sy],
-                                                     np.float32)
-            per_scale.append(res)
-        if len(per_scale) == 1:
-            best = per_scale[0]["boxes"][int(np.argmax(
-                per_scale[0]["scores"]))]
+            for fl in flips:
+                ids, r_mask = toks[fl]
+                x = np.zeros((ch, cw, 3), np.float32)
+                x[:rh, :rw] = im2[:, ::-1] if fl else im2
+                out = infer(jnp.asarray(x)[None],
+                            jnp.asarray(ids, jnp.int32)[None],
+                            jnp.asarray(r_mask, jnp.int32)[None])
+                res = {k: np.asarray(v[0]) for k, v in out.items()}
+                boxes = res["boxes"].astype(np.float32)
+                if fl:  # unflip in the aug frame before unscaling
+                    boxes = np.stack([rw - boxes[:, 2], boxes[:, 1],
+                                      rw - boxes[:, 0], boxes[:, 3]], -1)
+                sy = img.shape[0] / rh
+                sx = img.shape[1] / rw
+                res["boxes"] = boxes * np.asarray([sx, sy, sx, sy],
+                                                  np.float32)
+                per_aug.append(res)
+        if len(per_aug) == 1:
+            best = per_aug[0]["boxes"][int(np.argmax(
+                per_aug[0]["scores"]))]
         else:
-            best = aug_test_vote(per_scale)
+            best = aug_test_vote(per_aug)
         preds.append(best)
         gts.append(np.asarray(t["boxes"][0], np.float32))
         if (i + 1) % 100 == 0:

@@ -18,10 +18,8 @@ import numpy as np
 from vitadapter.builder import build_model
 from vitadapter.data.datasets import DATASETS
 from vitadapter.data.metrics import confusion_matrix, miou_from_confusion
-from vitadapter.data.preprocess import (normalize, pad_to_bucket,
-                                         pad_to_multiple)
+from vitadapter.data.preprocess import normalize
 from vitadapter.data import transforms as T
-from vitadapter.models.segmentor import flip_tta, slide_inference
 from vitadapter.parallel.mesh import make_mesh, replicate, shard_batch
 from vitadapter.train.optim import make_optimizer
 from vitadapter.train.trainer import TrainState, make_seg_train_step
@@ -38,8 +36,11 @@ def build_dataset(data_cfg: Dict[str, Any], split: str):
                   else None)
 
 
-def train_batches(dataset, data_cfg, batch_size: int,
-                  seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+def train_batches(dataset, data_cfg, batch_size: int, seed: int = 0,
+                  sampler=None) -> Iterator[Dict[str, np.ndarray]]:
+    """`sampler` (shared `data.loader.EpochSampler`) gives DistributedSampler
+    epoch semantics across prefetch threads; without one, each stream draws
+    its own per-thread permutations (sampling with replacement globally)."""
     rng = np.random.RandomState(seed)
     crop = tuple(data_cfg["crop_size"])
     scale = tuple(data_cfg["scale"])
@@ -49,13 +50,19 @@ def train_batches(dataset, data_cfg, batch_size: int,
     order = rng.permutation(n)
     pos = 0
     while True:
+        if sampler is not None:
+            idxs = sampler.take(batch_size)
+        else:
+            idxs = []
+            for _ in range(batch_size):
+                if pos >= n:
+                    order = rng.permutation(n)
+                    pos = 0
+                idxs.append(int(order[pos]))
+                pos += 1
         imgs, segs = [], []
-        for _ in range(batch_size):
-            if pos >= n:
-                order = rng.permutation(n)
-                pos = 0
-            img, seg = dataset.load(int(order[pos]))
-            pos += 1
+        for idx in idxs:
+            img, seg = dataset.load(idx)
             img, seg = T.train_transform(rng, img, seg, crop, scale, rr, cmr)
             imgs.append(img)
             segs.append(seg)
@@ -151,9 +158,12 @@ def run_training(cfg, work_dir: str, resume: bool = False,
     else:
         ds = build_dataset(cfg.data, "train")
         # threaded prefetch hides host-side decode/augment behind device
-        # compute (reference: multi-worker DataLoader)
-        from vitadapter.data.loader import prefetch
-        it = prefetch(lambda s: train_batches(ds, cfg.data, batch, seed=s),
+        # compute (reference: multi-worker DataLoader); the shared sampler
+        # keeps DistributedSampler epoch semantics across the threads
+        from vitadapter.data.loader import EpochSampler, prefetch
+        sampler = EpochSampler(len(ds), seed=0)
+        it = prefetch(lambda s: train_batches(ds, cfg.data, batch, seed=s,
+                                              sampler=sampler),
                       num_threads=cfg.data.get("workers", 4))
 
     log_int = cfg.get("log_config", {}).get("interval", 50)
@@ -223,94 +233,188 @@ def run_training(cfg, work_dir: str, resume: bool = False,
 
 def run_eval(cfg, variables, dataset, aug_test: bool = False,
              max_images: Optional[int] = None, log_fn=print) -> Dict[str, float]:
-    """Slide/whole-mode mIoU evaluation (reference `test.py --eval mIoU`).
+    """mIoU evaluation under the reference test protocol
+    (`test.py --eval mIoU [--aug-test]`), see `models/seg_protocol.py`:
+    keep-ratio resize to the test `img_scale` -> ResizeToMultiple(32) ->
+    slide/whole inference -> logits resized to ori_shape -> softmax ->
+    unflip -> average over augs -> argmax vs the original-resolution label.
 
-    `aug_test=True` with an `aug_test` dict in the config runs the reference
-    multi-scale+flip protocol (the `_ms` configs); without one it runs
-    flip-only TTA (the `_ss` protocol with `--aug-test`).
+    `aug_test=True` runs the reference `--aug-test` ratios
+    (0.5..1.75 + flip, `segmentation/test.py:131-136`) unless the config's
+    `aug_test` dict overrides them. Ratios scale the img_scale *canvas*
+    (MultiScaleFlipAug mode 2), not the native image size.
+
+    Distributed: images sharing a (scaled-shape, ori-bucket) signature batch
+    over the data mesh; per-image ori sizes ride in host-built interpolation
+    matrices so one compiled assembly program covers the whole signature.
     """
-    from vitadapter.models.segmentor import multi_scale_flip_aug
+    from vitadapter.models import seg_protocol as SP
+    from vitadapter.parallel.mesh import make_mesh, shard_batch
 
     model = build_model(dict(cfg.model))
     num_classes = cfg.model["decode_head"]["num_classes"]
-    mode = cfg.get("test_cfg", {}).get("mode", "whole")
-    ms_cfg = cfg.get("aug_test") if aug_test else None
+    test_cfg = dict(cfg.get("test_cfg", {}))
+    mode = test_cfg.get("mode", "whole")
+    img_scale = (test_cfg.get("img_scale")
+                 or cfg.get("data", {}).get("test_scale")
+                 or cfg.get("data", {}).get("scale"))
+    divisor = test_cfg.get("size_divisor", 32)
+    if img_scale is None and mode == "whole":
+        # out-of-protocol configs (no test scale): bound the whole-mode
+        # compile set by resizing to a coarser multiple instead
+        divisor = test_cfg.get("pad_bucket", 128)
+    img_scale = tuple(img_scale) if img_scale is not None else None
 
-    @jax.jit
-    def crop_logits(img):
-        return model.apply(variables, normalize(img))
-
-    fn = crop_logits
+    ms_cfg = dict(cfg.get("aug_test") or {}) if aug_test else None
     if aug_test and not ms_cfg:
-        fn = flip_tta(crop_logits)
+        # reference `--aug-test` hardcodes this set (test.py:131-136)
+        ms_cfg = dict(img_ratios=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75], flip=True)
+    ratios = tuple(ms_cfg["img_ratios"]) if ms_cfg else (1.0,)
+    do_flip = bool(ms_cfg.get("flip", True)) if ms_cfg else False
+    flips = (False, True) if do_flip else (False,)
+    n_aug = len(ratios) * len(flips)
 
-    slide_args = {}
-    if mode == "slide":
-        slide_args = dict(crop_size=tuple(cfg.test_cfg["crop_size"]),
-                          stride=tuple(cfg.test_cfg["stride"]))
-
-    def batch_logits(x):
-        if ms_cfg:
-            return multi_scale_flip_aug(
-                crop_logits, x, num_classes,
-                ratios=tuple(ms_cfg.get("img_ratios",
-                                        (0.5, 0.75, 1.0, 1.25, 1.5, 1.75))),
-                flip=ms_cfg.get("flip", True), **slide_args)
-        if mode == "slide":
-            return slide_inference(fn, x, tuple(cfg.test_cfg["crop_size"]),
-                                   tuple(cfg.test_cfg["stride"]),
-                                   num_classes)
-        return fn(x)
-
-    @jax.jit
-    def batch_cm(x, seg):
-        pred = jnp.argmax(batch_logits(x), axis=-1)
-        return confusion_matrix(pred, seg, num_classes)
-
-    # distributed evaluation (reference `dist_test.sh` / multi_gpu_test,
-    # SURVEY 3.2): images batch per pad-bucket shape and shard over the
-    # data mesh; the confusion-matrix scatter-add reduces across devices
-    # inside the jit. Padding labels with 255 makes batch slack exact.
-    from vitadapter.parallel.mesh import make_mesh, shard_batch
+    crop = tuple(test_cfg["crop_size"]) if mode == "slide" else None
+    stride = tuple(test_cfg.get("stride") or crop) if mode == "slide" else None
+    ori_bucket = test_cfg.get("ori_bucket", 128)
 
     mesh = make_mesh()
     D = len(mesh.devices.reshape(-1))
+    cpd = test_cfg.get("crops_per_device", 2)
+    CB = D * cpd
+
+    score_cache: Dict[tuple, Any] = {}
+    asm_cache: Dict[tuple, Any] = {}
+    fin_cache: Dict[tuple, Any] = {}
+
+    def scorer(ce):
+        if ce not in score_cache:
+            score_cache[ce] = jax.jit(
+                lambda x: model.apply(variables, normalize(x)))
+        return score_cache[ce]
+
+    def assembler(key):
+        # key = (h2, w2, ce, ys, xs, hob, wob)
+        if key not in asm_cache:
+            h2, w2, ce, ys, xs, hob, wob = key
+            cnt = jnp.asarray(SP.count_map(h2, w2, ce, ys, xs))
+
+            def asm(crop_logits, mh, mw):
+                # crop_logits (D, nc, ceh, cew, K); static slide grid
+                Db = crop_logits.shape[0]
+                canvas = jnp.zeros((Db, h2, w2, num_classes), jnp.float32)
+                k = 0
+                for y in ys:
+                    for x0 in xs:
+                        patch = jax.lax.dynamic_slice(
+                            canvas, (0, y, x0, 0),
+                            (Db, ce[0], ce[1], num_classes))
+                        canvas = jax.lax.dynamic_update_slice(
+                            canvas, patch + crop_logits[:, k], (0, y, x0, 0))
+                        k += 1
+                canvas = canvas / cnt
+                # bucket-padded per-image resize to ori_shape; the unflip is
+                # baked into mw (reversed rows)
+                o = jnp.einsum("doh,dhwk->dowk", mh, canvas)
+                o = jnp.einsum("dow,dhwk->dhok", mw, o)
+                return jax.nn.softmax(o, axis=-1)
+
+            asm_cache[key] = jax.jit(asm)
+        return asm_cache[key]
+
+    def finisher(ob):
+        if ob not in fin_cache:
+            fin_cache[ob] = jax.jit(
+                lambda acc, seg: confusion_matrix(
+                    jnp.argmax(acc, axis=-1), seg, num_classes))
+        return fin_cache[ob]
+
+    def score_crops(crops):
+        """Fixed-chunk scoring: pad the crop stream to CB multiples, run the
+        single compiled model call per chunk (sharded over the mesh)."""
+        N = crops.shape[0]
+        ce = crops.shape[1:3]
+        fn = scorer((ce[0], ce[1]))
+        outs = []
+        for s in range(0, N, CB):
+            chunk = crops[s:s + CB]
+            pad = CB - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)])
+            sb = shard_batch(mesh, {"x": chunk})
+            outs.append(fn(sb["x"]))
+        logits = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        return logits[:N]
+
     cm = np.zeros((num_classes, num_classes), np.int64)
     n = min(len(dataset), max_images or len(dataset))
-    bucket = cfg.get("test_cfg", {}).get("pad_bucket", 128)
     pending: Dict[tuple, list] = {}
     done = 0
 
-    def flush(shape_key):
+    def plans_for(ho, wo):
+        if img_scale is None:
+            h1w1 = (ho, wo)
+            return [(h1w1, SP.to_multiple(ho, wo, divisor))
+                    for _ in ratios]
+        return [SP.variant_plan(ho, wo, img_scale, r, divisor)
+                for r in ratios]
+
+    def flush(key):
         nonlocal cm, done
-        items = pending.pop(shape_key, [])
+        items = pending.pop(key, [])
         if not items:
             return
-        k = sum(1 for _, _, real in items if real)
-        while len(items) % D:
-            im, sg, _ = items[-1]
-            items.append((im, sg, False))  # batch slack; masked below
-        xs = np.stack([im for im, _, real in items])
-        segs = np.stack([sg for _, sg, real in items])
-        for j, (_, _, real) in enumerate(items):
-            if not real:
-                segs[j][:] = 255  # all-ignore: contributes nothing
-        b = shard_batch(mesh, {"x": xs.astype(np.float32),
-                               "seg": segs.astype(np.int32)})
-        cm += np.asarray(batch_cm(b["x"], b["seg"]), np.int64)
-        done += k
-        if done % 50 < k or done == n:
+        k_real = len(items)
+        slack = (-len(items)) % D
+        items = [(img, seg, plans, True) for (img, seg, plans) in items]
+        items += [items[-1][:3] + (False,)] * slack  # batch slack; 255-masked
+        hob, wob = key[0]
+        labels = np.full((len(items), hob, wob), 255, np.int32)
+        for j, (img, seg, plans, real) in enumerate(items):
+            if real:
+                labels[j, :seg.shape[0], :seg.shape[1]] = seg
+        acc = None
+        for ri, _ in enumerate(ratios):
+            h1w1s = [it[2][ri][0] for it in items]
+            (h2, w2) = items[0][2][ri][1]
+            ce, ys, xs = (SP.slide_plan(h2, w2, crop, stride) if mode == "slide"
+                          else ((h2, w2), (0,), (0,)))
+            for fl in flips:
+                xs_np = np.stack([
+                    SP.prepare_variant_image(img, h1w1s[j], (h2, w2), fl)
+                    for j, (img, _, _, _) in enumerate(items)])
+                crops = np.concatenate(
+                    [SP.extract_crops(x, ce, ys, xs) for x in xs_np])
+                logits = score_crops(crops).reshape(
+                    len(items), len(ys) * len(xs), ce[0], ce[1], num_classes)
+                mh = np.stack([SP.ori_matrices(
+                    h2, w2, it[1].shape[0], it[1].shape[1], hob, wob, fl)[0]
+                    for it in items])
+                mw = np.stack([SP.ori_matrices(
+                    h2, w2, it[1].shape[0], it[1].shape[1], hob, wob, fl)[1]
+                    for it in items])
+                b = shard_batch(mesh, {"l": logits, "mh": mh, "mw": mw})
+                probs = assembler((h2, w2, ce, ys, xs, hob, wob))(
+                    b["l"], b["mh"], b["mw"])
+                acc = probs if acc is None else acc + probs
+        acc = acc / n_aug  # stays device-resident and mesh-sharded
+        sb = shard_batch(mesh, {"seg": labels})
+        cm += np.asarray(finisher((hob, wob))(acc, sb["seg"]), np.int64)
+        done += k_real
+        if done % 50 < k_real or done == n:
             log_fn(f"eval {done}/{n}")
 
     for i in range(n):
         img, seg = dataset.load(i)
-        x = jnp.asarray(img, jnp.float32)[None]
-        x, (H, W) = pad_to_bucket(x, bucket)
-        xp = np.asarray(x[0])
-        sp = np.full(xp.shape[:2], 255, np.int32)
-        sp[:H, :W] = np.asarray(seg)
-        key = xp.shape[:2]
-        pending.setdefault(key, []).append((xp, sp, True))
+        img = np.asarray(img)
+        seg = np.asarray(seg, np.int32)
+        ho, wo = seg.shape[:2]
+        plans = plans_for(ho, wo)
+        hob = -(-ho // ori_bucket) * ori_bucket
+        wob = -(-wo // ori_bucket) * ori_bucket
+        key = ((hob, wob), tuple(p[1] for p in plans))
+        pending.setdefault(key, []).append((img, seg, plans))
         if len(pending[key]) == D:
             flush(key)
     for key in list(pending):
