@@ -43,11 +43,16 @@ def build_flagship(dtype=jnp.bfloat16):
     return model, name
 
 
-def main():
+# Analytic forward FLOPs per image for ViT-Adapter-L + Mask2Former at 512px
+# (backbone 24xViT-L blocks on 1024 tokens + SPM/adapter MSDA + 6-layer pixel
+# decoder on 5376 tokens + 9-layer Q=200 decoder; dense-matmul count).
+FLOPS_PER_IMG = 2.2e12
+PEAK_FLOPS = 197e12  # TPU v5e bf16
+
+
+def measure(model, batch, H=512, W=512):
     from vitadapter.data.preprocess import normalize
 
-    batch, H, W = 4, 512, 512
-    model, name = build_flagship()
     raw = jnp.asarray(
         np.random.RandomState(0).randint(0, 256, (batch, H, W, 3), np.uint8))
     variables = jax.jit(model.init)(
@@ -81,14 +86,33 @@ def main():
     tn = timed(11)
     per_iter = (tn - t1) / 10.0
     assert per_iter > 0, (tn, t1)
-    img_s = batch / per_iter
+    return batch / per_iter
+
+
+def main():
+    model, name = build_flagship()
+    # throughput/chip is the metric; sweep batch and report the best
+    # (VERDICT r3 next #3a)
+    results = {}
+    for batch in (4, 8, 16):
+        try:
+            results[batch] = measure(model, batch)
+        except Exception as e:  # noqa: BLE001 — e.g. OOM at large batch
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" \
+                    not in str(e):
+                raise
+            break
+    batch, img_s = max(results.items(), key=lambda kv: kv[1])
 
     vs = 1.0 if BASELINE_IMG_PER_SEC is None else img_s / BASELINE_IMG_PER_SEC
     print(json.dumps({
-        "metric": f"images/sec/chip ({name}, ADE20K 512px eval forward)",
+        "metric": f"images/sec/chip ({name}, ADE20K 512px eval forward, "
+                  f"batch {batch})",
         "value": round(img_s, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(vs, 3),
+        "mfu": round(img_s * FLOPS_PER_IMG / PEAK_FLOPS, 4),
+        "batch_sweep": {str(b): round(v, 3) for b, v in results.items()},
     }))
 
 

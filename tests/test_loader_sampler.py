@@ -43,18 +43,23 @@ def test_epoch_sampler_exact_coverage_across_threads():
 
 def test_prefetch_with_shared_sampler_balanced():
     """Through the threaded prefetch queue, epoch boundaries can interleave
-    by at most the in-flight batches, so over E epochs every index is seen
-    E +/- 1 times (vs unbounded skew for independent per-thread streams)."""
-    n, epochs = 24, 6
+    by at most the in-flight capacity, so over E epochs every index is seen
+    E +/- ceil(in_flight_slots / n) times (vs unbounded skew for independent
+    per-thread streams)."""
+    n, epochs, batch = 24, 6, 2
+    buffer, threads = 8, 3
     s = EpochSampler(n, seed=1)
 
     def make_iter(seed):
         while True:
-            yield s.take(2)
+            yield s.take(batch)
 
-    it = prefetch(make_iter, num_threads=3)
+    it = prefetch(make_iter, num_threads=threads, buffer=buffer)
     seen = collections.Counter()
-    for _ in range(epochs * n // 2):
+    for _ in range(epochs * n // batch):
         seen.update(next(it))
     assert sum(seen.values()) == epochs * n
-    assert all(abs(seen[i] - epochs) <= 1 for i in range(n)), seen
+    # in-flight = queue buffer + one batch held per producer thread; a given
+    # index can be in flight once per epoch the window spans
+    slack = -(-(buffer + threads) * batch // n) + 1
+    assert all(abs(seen[i] - epochs) <= slack for i in range(n)), seen

@@ -70,7 +70,20 @@ def profile_model_stages():
     def full(mdl, img):
         return mdl(img).astype(jnp.float32).mean()
 
-    stages = [("backbone", backbone), ("+pixel_decoder", pixdec),
+    def vit_only(mdl, img):
+        """ViT embed + all blocks, no adapter/SPM (MXU floor check)."""
+        bb = mdl.backbone
+        t, H, W = bb.vit.embed(img, deterministic=True)
+        t = bb.vit.run_blocks(t, H, W, 0, len(bb.vit.blocks),
+                              deterministic=True)
+        return t.astype(jnp.float32).mean()
+
+    def spm_only(mdl, img):
+        return sum(c.astype(jnp.float32).mean()
+                   for c in mdl.backbone.spm(img, train=False))
+
+    stages = [("vit_only", vit_only), ("spm_only", spm_only),
+              ("backbone", backbone), ("+pixel_decoder", pixdec),
               ("+decoder head", head), ("full", full)]
     results = {}
     for tag, stage in stages:

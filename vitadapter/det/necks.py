@@ -47,8 +47,10 @@ class FPN(nn.Module):
             for i in range(L)
         ]
         for i in range(L - 1, 0, -1):
+            # mmdet FPN default upsample_cfg = dict(mode='nearest'); the
+            # reference det configs do not override it
             laterals[i - 1] = laterals[i - 1] + resize_2d(
-                laterals[i], laterals[i - 1].shape[1:3], "bilinear")
+                laterals[i], laterals[i - 1].shape[1:3], "nearest")
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name=f"fpn_conv_{i}")(laterals[i])

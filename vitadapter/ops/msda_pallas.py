@@ -378,19 +378,39 @@ def _fwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, v_ref, o_ref,
             hof0 = iota0 // W
             h_of0 = hof0.astype(jnp.float32)
             w_of0 = (iota0 - hof0 * W).astype(jnp.float32)
+            # the column one-hot is chunk-invariant (chunks are whole rows,
+            # so w_of repeats identically every chunk): build
+            # wxa_p = relu(1 - |w_of - x_p|) * a_p ONCE per level and reuse
+            # it in every executed chunk — the per-chunk VPU work drops from
+            # 11 to 6 ops/element (the one-hot build is the kernel's
+            # measured bottleneck: fp32 VPU peak, see the band-matmul
+            # study). Single-chunk levels (chunk_l == HW, e.g. odd det
+            # widths) skip the hoist: there is nothing to reuse and the
+            # P x (T, HW) fp32 residents blow the scoped-VMEM budget.
+            hoist = chunk_l != HW
+            if hoist:
+                wxa = [jnp.maximum(
+                    1.0 - jnp.abs(w_of0 - x[:, (lvl * P + p):(lvl * P + p)
+                                            + 1]), 0.0)
+                    * a[:, (lvl * P + p):(lvl * P + p) + 1]
+                    for p in range(P)]
+            else:
+                wxa = None
 
             def step(c0, dyn, lvl=lvl, W=W, start=start, chunk_l=chunk_l,
-                     y=y, x=x, a=a, g=g, h_of0=h_of0, w_of0=w_of0):
+                     y=y, x=x, a=a, g=g, h_of0=h_of0, w_of0=w_of0, wxa=wxa):
                 h_of = h_of0 + (c0 // W)
-                w_of = w_of0
                 C = jnp.zeros((T, chunk_l), jnp.float32)
                 for p in range(P):
                     col = lvl * P + p
                     wy = jnp.maximum(1.0 - jnp.abs(h_of - y[:, col:col + 1]),
                                      0.0)
-                    wx = jnp.maximum(1.0 - jnp.abs(w_of - x[:, col:col + 1]),
-                                     0.0)
-                    C = C + wy * wx * a[:, col:col + 1]
+                    if wxa is not None:
+                        C = C + wy * wxa[p]
+                    else:
+                        wx = jnp.maximum(
+                            1.0 - jnp.abs(w_of0 - x[:, col:col + 1]), 0.0)
+                        C = C + wy * wx * a[:, col:col + 1]
                 if dyn:
                     vc = v_ref[0, g, pl.ds(start + c0, chunk_l), :]
                 else:
@@ -1208,13 +1228,38 @@ def _bwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
         hi = bounds_ref[base + 2 * lvl + 1]
         lo_al = (lo // chunk_l) * chunk_l
 
-        def chunk_step(c0, hwc, dyn, lvl=lvl, W=W, start=start):
+        # chunk-invariant column factors (chunks are whole rows, so w_of
+        # repeats identically every chunk): build wx_p and its derivative
+        # tap sx_p ONCE per level — the one-hot build is the VPU bottleneck
+        # (see `_fwd_ml_kernel`), and this removes the x half of it from
+        # every executed chunk. Skipped for single-chunk levels
+        # (chunk_l == HW): nothing to reuse, and the 2P x (T, HW) fp32
+        # residents blow the scoped-VMEM budget at odd det widths.
+        iota0 = jax.lax.broadcasted_iota(jnp.int32, (T, chunk_l), 1)
+        hof0 = iota0 // W
+        h_of0 = hof0.astype(jnp.float32)
+        w_of0 = (iota0 - hof0 * W).astype(jnp.float32)
+        hoist = chunk_l != HW
+        wx_l, sx_l = [], []
+        if hoist:
+            for p in range(P):
+                col = lvl * P + p
+                dxr = w_of0 - x[:, col:col + 1]
+                wx_l.append(jnp.maximum(1.0 - jnp.abs(dxr), 0.0))
+                # floor-convention derivative taps: -1 on (h-y) in (-1, 0],
+                # +1 on (0, 1] — BOTH taps stay active when the coordinate
+                # is exactly integral (frac 0), matching the reference's
+                # lh/hh bilinear derivatives (`ms_deform_im2col_cuda.cuh:
+                # 766-844`). A sign()-based mask would zero both taps there,
+                # and bf16-quantized locations land on integers often.
+                sx_l.append(jnp.where((dxr > -1.0) & (dxr <= 1.0),
+                                      jnp.where(dxr > 0.0, 1.0, -1.0), 0.0))
+
+        def chunk_step(c0, hwc, dyn, lvl=lvl, W=W, start=start,
+                       h_of0=h_of0, w_of0=w_of0, wx_l=wx_l, sx_l=sx_l):
             """One K-chunk (anchored at a dynamic start when dyn); pure ref
             side effects (dv_ref, dg_s)."""
-            iota = jax.lax.broadcasted_iota(jnp.int32, (T, hwc), 1) + c0
-            hof = iota // W
-            h_of = hof.astype(jnp.float32)
-            w_of = (iota - hof * W).astype(jnp.float32)
+            h_of = h_of0 + (c0 // W)
             if dyn:
                 vc = v_ref[0, pl.ds(start + c0, hwc), :]      # (hwc, D)
             else:
@@ -1227,22 +1272,20 @@ def _bwd_ml_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
                 col = lvl * P + p
                 dyr = h_of - y[:, col:col + 1]
                 wy = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)
-                dxr = w_of - x[:, col:col + 1]
-                wx = jnp.maximum(1.0 - jnp.abs(dxr), 0.0)
+                if wx_l:
+                    wx = wx_l[p]
+                    sx = sx_l[p]
+                else:
+                    dxr = w_of0 - x[:, col:col + 1]
+                    wx = jnp.maximum(1.0 - jnp.abs(dxr), 0.0)
+                    sx = jnp.where((dxr > -1.0) & (dxr <= 1.0),
+                                   jnp.where(dxr > 0.0, 1.0, -1.0), 0.0)
                 t0 = wy * wx
                 C = C + t0 * a[:, col:col + 1]
                 dg_s[:, col:col + 1] += jnp.sum(t0 * Gv, axis=1,
                                                 keepdims=True)
-                # floor-convention derivative taps: -1 on (h-y) in (-1, 0],
-                # +1 on (0, 1] — BOTH taps stay active when the coordinate
-                # is exactly integral (frac 0), matching the reference's
-                # lh/hh bilinear derivatives (`ms_deform_im2col_cuda.cuh:
-                # 766-844`). A sign()-based mask would zero both taps there,
-                # and bf16-quantized locations land on integers often.
                 sy = jnp.where((dyr > -1.0) & (dyr <= 1.0),
                                jnp.where(dyr > 0.0, 1.0, -1.0), 0.0)
-                sx = jnp.where((dxr > -1.0) & (dxr <= 1.0),
-                               jnp.where(dxr > 0.0, 1.0, -1.0), 0.0)
                 dg_s[:, 2 * LP + col:2 * LP + col + 1] += jnp.sum(
                     (sy * wx) * Gv, axis=1, keepdims=True)
                 dg_s[:, LP + col:LP + col + 1] += jnp.sum(

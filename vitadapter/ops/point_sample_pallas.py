@@ -49,7 +49,13 @@ def _fwd_kernel(bounds_ref, y_ref, x_ref, m_ref, o_ref, *, H, W, TP):
     Callers that sort points by row (`sort_points_by_y`) make the per-tile
     bands narrow — H/RC-fold fewer MACs on tall masks (e.g. 4x at the
     512px gt label resolution); unsorted points degrade gracefully to the
-    full-height contraction."""
+    full-height contraction.
+
+    Orientation: the MXU contracts the W axis FIRST (mc @ Rx -> (RC, TP)),
+    so the per-chunk VPU combine runs on the small (RC, TP) array rather
+    than (W, TP) — at the 512-wide gt label resolution that halves the
+    kernel's VPU work (its measured bottleneck), and the W-deep contraction
+    feeds the MXU a full-depth K."""
     dt = m_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -61,7 +67,7 @@ def _fwd_kernel(bounds_ref, y_ref, x_ref, m_ref, o_ref, *, H, W, TP):
     for i in range(NB):
         y = y_ref[i:i + 1, :]                             # (1, TP) fp32
         x = x_ref[i:i + 1, :]
-        Rx = jnp.maximum(1.0 - jnp.abs(iw - x), 0.0)
+        Rx = jnp.maximum(1.0 - jnp.abs(iw - x), 0.0).astype(dt)
 
         def chunk(c0, dyn, y=y, Rx=Rx, i=i):
             ih = (jax.lax.broadcasted_iota(jnp.int32, (RC, TP), 0)
@@ -69,12 +75,12 @@ def _fwd_kernel(bounds_ref, y_ref, x_ref, m_ref, o_ref, *, H, W, TP):
             Ry = jnp.maximum(1.0 - jnp.abs(ih - y), 0.0)  # (RC, TP)
             mc = (m_ref[i, pl.ds(c0, RC), :] if dyn
                   else m_ref[i, 0:RC, :])
-            tmp = jax.lax.dot_general(                    # mc^T @ Ry
-                mc, Ry.astype(dt),
-                dimension_numbers=(((0,), (0,)), ((), ())),
+            tmp = jax.lax.dot_general(                    # mc @ Rx
+                mc, Rx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec)                           # (W, TP)
-            return jnp.sum(Rx * tmp, axis=0, keepdims=True)
+                precision=prec)                           # (RC, TP)
+            return jnp.sum(Ry * tmp, axis=0, keepdims=True)
 
         if RC == H:
             o_ref[i:i + 1, :] = chunk(0, False)
