@@ -73,7 +73,10 @@ def _auction_kernel(ben_ref, own_ref, *, eps_div, max_iters):
     owner0 = jnp.full((1, Q), -1, jnp.int32)
     _, owner, _ = jax.lax.while_loop(
         cond, body, (price0, owner0, jnp.int32(0)))
-    own_ref[...] = owner
+    # Mosaic requires the output block's sublane dim to be tile-aligned
+    # (divisible by 8): broadcast the (1, Q) owner row across 8 sublanes and
+    # let the host slice row 0.
+    own_ref[...] = jnp.broadcast_to(owner, own_ref.shape[1:])[None]
 
 
 def auction_assign_pallas(cost: jax.Array, n_valid: jax.Array,
@@ -82,6 +85,8 @@ def auction_assign_pallas(cost: jax.Array, n_valid: jax.Array,
     """Batched auction LAP. cost (B, Q, G) fp32, n_valid (B,) -> (B, Q) int32
     matched gt index per query or -1. One Pallas program per image."""
     B, Q, G = cost.shape
+    if G == 0:  # zero-size span reduction would crash inside the kernel
+        return jnp.full((B, Q), -1, jnp.int32)
     gt_ok = jnp.arange(G)[None] < n_valid[:, None]          # (B, G)
     # (B, G, Q): rows = bidders (gts), cols = items (queries)
     benefit = jnp.where(gt_ok[:, :, None],
@@ -92,12 +97,12 @@ def auction_assign_pallas(cost: jax.Array, n_valid: jax.Array,
                       constant_values=NEG)
     owner = pl.pallas_call(
         partial(_auction_kernel, eps_div=eps_div, max_iters=max_iters),
-        out_shape=jax.ShapeDtypeStruct((B, Q_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, Q_pad), jnp.int32),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, G_pad, Q_pad), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, Q_pad), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((1, 8, Q_pad), lambda i: (i, 0, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(benefit)
-    return owner[:, :Q]
+    return owner[:, 0, :Q]
