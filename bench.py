@@ -47,7 +47,12 @@ def build_flagship(dtype=jnp.bfloat16):
 # (backbone 24xViT-L blocks on 1024 tokens + SPM/adapter MSDA + 6-layer pixel
 # decoder on 5376 tokens + 9-layer Q=200 decoder; dense-matmul count).
 FLOPS_PER_IMG = 2.2e12
+# Train step: fwd + bwd of the matmul-dominated graph ~ 3x fwd (the loss
+# tail's point sampling/assignment adds non-matmul work not counted here).
+TRAIN_FLOPS_PER_IMG = 3 * FLOPS_PER_IMG
 PEAK_FLOPS = 197e12  # TPU v5e bf16
+# First measured value (round 5, same flagship, 512px batch-2 train step).
+BASELINE_TRAIN_S_PER_STEP = 0.90
 
 
 def measure(model, batch, H=512, W=512):
@@ -89,6 +94,44 @@ def measure(model, batch, H=512, W=512):
     return batch / per_iter
 
 
+def measure_train(batch, size=512, num_points=12544):
+    """Full flagship train step (loss + bwd + optimizer, donated state),
+    timed like tools/profile_train.py. Returns s/step."""
+    from vitadapter.train.optim import make_optimizer
+    from vitadapter.train.trainer import TrainState, make_m2f_train_step
+    from vitadapter.zoo import mask2former_vit_adapter
+
+    model = mask2former_vit_adapter("large", num_classes=150,
+                                    dtype=jnp.bfloat16)
+    img = jnp.zeros((batch, size, size, 3), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), img)
+    tx, _ = make_optimizer(variables["params"], total_steps=1000,
+                           warmup_steps=10, grad_clip=0.01)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    data = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(batch, size, size, 3),
+            jnp.float32),
+        "label": jnp.asarray(np.random.RandomState(1).randint(
+            0, 150, (batch, size, size)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(2)
+    step = jax.jit(make_m2f_train_step(model, num_classes=150,
+                                       max_instances=60,
+                                       num_points=num_points),
+                   donate_argnums=(0,))
+    state, m = step(state, data, rng)
+    assert np.isfinite(float(m["loss"]))  # compile + warm + sync
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, data, rng)
+    assert np.isfinite(float(m["loss"]))  # scalar fetch = real sync
+    return (time.perf_counter() - t0) / n
+
+
 def main():
     model, name = build_flagship()
     # throughput/chip is the metric; sweep batch and report the best
@@ -104,8 +147,26 @@ def main():
             break
     batch, img_s = max(results.items(), key=lambda kv: kv[1])
 
+    # flagship train step (VERDICT r4 next #6: training progress must reach
+    # the driver artifact, not README prose)
+    train = {}
+    del model
+    for tb in (2, 4):
+        try:
+            s_step = measure_train(tb)
+        except Exception as e:  # noqa: BLE001 — e.g. OOM at large batch
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" \
+                    not in str(e):
+                raise
+            break
+        train[str(tb)] = {
+            "s_per_step": round(s_step, 4),
+            "img_per_s": round(tb / s_step, 3),
+            "mfu": round(tb / s_step * TRAIN_FLOPS_PER_IMG / PEAK_FLOPS, 4),
+        }
+
     vs = 1.0 if BASELINE_IMG_PER_SEC is None else img_s / BASELINE_IMG_PER_SEC
-    print(json.dumps({
+    out = {
         "metric": f"images/sec/chip ({name}, ADE20K 512px eval forward, "
                   f"batch {batch})",
         "value": round(img_s, 3),
@@ -113,7 +174,17 @@ def main():
         "vs_baseline": round(vs, 3),
         "mfu": round(img_s * FLOPS_PER_IMG / PEAK_FLOPS, 4),
         "batch_sweep": {str(b): round(v, 3) for b, v in results.items()},
-    }))
+    }
+    if train:
+        b2 = train.get("2")
+        out["train"] = {
+            "batch_sweep": train,
+            "s_per_step_b2": b2["s_per_step"] if b2 else None,
+            "vs_train_baseline": (round(BASELINE_TRAIN_S_PER_STEP
+                                        / b2["s_per_step"], 3)
+                                  if b2 else None),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
