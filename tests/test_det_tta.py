@@ -198,3 +198,34 @@ def test_canvas_is_static_pair():
     from vitadapter.train.det_loop import test_canvas
     land, port = test_canvas((1333, 800))
     assert land == (800, 1344) and port == (1344, 800)
+
+
+def test_ms_tta_canvas_set_is_bounded():
+    """The det-eval jit retraces once per canvas shape (VERDICT r4 weak #6):
+    across the real htc++ _ms TTA scale set and a battery of COCO-shaped
+    images, the /64-bucketed canvas key set must stay small and must
+    STABILIZE (adding more images of ordinary aspect ratios adds no new
+    compiles). `_prep_one_aug` pads to the per-orientation full canvas, so
+    the bound is exact: 2 canvases per scale."""
+    import numpy as np
+
+    from vitadapter.train.det_loop import _prep_one_aug
+
+    scales = [(400, 1600), (600, 1600), (800, 1600), (1000, 1600),
+              (1200, 1600), (1400, 1600)]
+    battery = [(480, 640), (640, 480), (427, 640), (375, 500), (640, 427),
+               (333, 500), (500, 333), (612, 612), (360, 640), (640, 360),
+               (720, 1280), (768, 1024), (1024, 768), (400, 600)]
+    keys = set()
+    growth = []
+    for h, w in battery:
+        img = np.zeros((h, w, 3), np.uint8)
+        for s in scales:
+            for fl in (False, True):
+                x, _ = _prep_one_aug(img, s, fl)
+                keys.add(x.shape[:2])
+        growth.append(len(keys))
+    # exactly one landscape + one portrait canvas per scale
+    assert len(keys) == len(scales) * 2, sorted(keys)
+    # stabilized: the last third of the battery added no new canvases
+    assert growth[-1] == growth[2 * len(battery) // 3 - 1], growth
