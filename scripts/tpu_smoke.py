@@ -181,11 +181,95 @@ def run_point_sample(dtype, tall=False):
     return ok
 
 
+def run_fused_attention(dtype):
+    """Fused whole-row attention kernel (backbone global blocks) fwd+grads
+    vs the XLA formulation at flagship geometry."""
+    from vitadapter.ops.attention_pallas import fused_mha
+
+    B, H, N, D = 2, 4, 1024, 64
+    rng = np.random.RandomState(11)
+    q, k, v = (jnp.asarray(rng.randn(B, H, N, D), dtype) for _ in range(3))
+    scale = D ** -0.5
+
+    def ref(q, k, v):
+        a = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", a, v)
+
+    t0 = time.time()
+    o = jax.jit(lambda q, k, v: fused_mha(q, k, v, scale))(q, k, v)
+    r = jax.jit(ref)(q, k, v)
+    err = float(jnp.abs(o.astype(jnp.float32) - r.astype(jnp.float32)).max())
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    ok = err < tol
+    w = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    gp = jax.jit(jax.grad(lambda q, k, v: (
+        fused_mha(q, k, v, scale).astype(jnp.float32) * w).sum(),
+        (0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(lambda q, k, v: (
+        ref(q, k, v).astype(jnp.float32) * w).sum(), (0, 1, 2)))(q, k, v)
+    gerr = max(float(jnp.abs(a.astype(jnp.float32)
+                             - b.astype(jnp.float32)).max()
+                     / (jnp.abs(b.astype(jnp.float32)).max() + 1e-9))
+               for a, b in zip(gp, gr))
+    gtol = 1e-4 if dtype == jnp.float32 else 4e-2
+    ok = ok and gerr < gtol
+    st = "OK" if ok else "FAIL"
+    print(f"  [{st}] fused-attention  {np.dtype(dtype).name:8s} "
+          f"fwd {err:.2e} grad {gerr:.2e}  {time.time() - t0:5.1f}s",
+          flush=True)
+    return ok
+
+
+def run_auction():
+    """Fused in-VMEM Pallas auction vs scipy-optimal assignment cost."""
+    from scipy.optimize import linear_sum_assignment
+
+    from vitadapter.ops.auction_pallas import auction_assign_pallas
+
+    t0 = time.time()
+    rng = np.random.RandomState(13)
+    B, Q, G = 12, 100, 40
+    cost = rng.randn(B, Q, G).astype(np.float32) * 3
+    nv = rng.randint(0, G + 1, (B,)).astype(np.int32)
+    a = np.asarray(jax.jit(auction_assign_pallas)(
+        jnp.asarray(cost), jnp.asarray(nv)))
+    ok = True
+    for b in range(B):
+        n = int(nv[b])
+        assigned = a[b][a[b] >= 0]
+        ok &= len(assigned) == n == len(np.unique(assigned))
+        if n == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[b, :, :n])
+        opt = cost[b][rows, cols].sum()
+        got = sum(cost[b, q, g] for q, g in enumerate(a[b]) if g >= 0)
+        ok &= got <= opt + 1e-2 * max(1.0, abs(opt))
+    st = "OK" if ok else "FAIL"
+    print(f"  [{st}] pallas-auction   optimal-vs-scipy x{B}  "
+          f"{time.time() - t0:5.1f}s", flush=True)
+    return ok
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     print(f"PFOLD={msda_pallas._PFOLD} "
           f"PALLAS_DGRID={msda_pallas._PALLAS_DGRID}", flush=True)
     all_ok = True
+    for dtype in (jnp.float32, jnp.bfloat16):
+        try:
+            all_ok = run_fused_attention(dtype) and all_ok
+        except Exception as e:  # noqa: BLE001
+            print(f"  [FAIL] fused-attention {np.dtype(dtype)}: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            all_ok = False
+    try:
+        all_ok = run_auction() and all_ok
+    except Exception as e:  # noqa: BLE001
+        print(f"  [FAIL] pallas-auction: {type(e).__name__}: {e}",
+              flush=True)
+        all_ok = False
     for dtype in (jnp.float32, jnp.bfloat16):
         for case in CASES:
             name = case[0]

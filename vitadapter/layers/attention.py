@@ -16,6 +16,21 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _single_device_context() -> bool:
+    """True when a pallas_call sees whole arrays: single-chip, or inside a
+    shard_map (per-device shards). Under plain multi-chip jit GSPMD treats a
+    pallas_call as opaque and would all-gather its batch-sharded operands —
+    route those through the XLA path (or an explicit shard_map wrapper, the
+    repo-wide pattern for Pallas kernels: `parallel/sp.py`)."""
+    if jax.device_count() == 1:
+        return True
+    try:
+        from jax.core import nonempty_axis_env_DO_NOT_USE
+        return bool(nonempty_axis_env_DO_NOT_USE())
+    except ImportError:  # future jax: be conservative
+        return False
+
+
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
     """(B, H, W, C) -> (B, nWindows, ws*ws, C). H, W divisible by ws."""
     B, H, W, C = x.shape
@@ -49,7 +64,8 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     """
     from vitadapter.ops.attention_pallas import fusable, fused_mha
 
-    if jax.default_backend() == "tpu" and fusable(q.shape, bias):
+    if (jax.default_backend() == "tpu" and fusable(q.shape, bias)
+            and _single_device_context()):
         return fused_mha(q, k, v, scale)
     attn = jnp.einsum("...hqd,...hkd->...hqk", q, k,
                       preferred_element_type=jnp.float32) * scale

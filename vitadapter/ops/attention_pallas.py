@@ -43,44 +43,59 @@ def fusable(q_shape, bias) -> bool:
             and (D % 128 == 0 or D in (64,)) and D <= 256)
 
 
+def _prec(dtype):
+    """fp32 operands need HIGHEST or the MXU rounds them through one bf16
+    pass (~1e-4 rel err, measured on-chip); bf16 operands take DEFAULT."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    prec = _prec(q_ref.dtype)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32
-                          ).astype(o_ref.dtype)
+    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32,
+                          precision=prec).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 scale):
+    prec = _prec(q_ref.dtype)
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
     do = do_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)                  # (N, N) fp32
     pb = p.astype(v.dtype)
     dv_ref[0, 0] = jax.lax.dot_general(
         pb, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))     # (N, N)
     dsb = ds.astype(q_ref.dtype)
     dq_ref[0, 0] = (jnp.dot(dsb, k.astype(q_ref.dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
                     * scale).astype(dq_ref.dtype)
     dk_ref[0, 0] = (jax.lax.dot_general(
         dsb, q.astype(q_ref.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=prec) * scale).astype(dk_ref.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
