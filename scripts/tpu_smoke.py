@@ -257,7 +257,10 @@ def main():
     print(f"PFOLD={msda_pallas._PFOLD} "
           f"PALLAS_DGRID={msda_pallas._PALLAS_DGRID}", flush=True)
     all_ok = True
-    for dtype in (jnp.float32, jnp.bfloat16):
+    # bf16 only: the fused attention path is gated to bf16 operands
+    # (`attention_pallas.fusable`) — the fp32 HIGHEST kernel compiles for
+    # 15-25 min through the axon remote compiler for a path no model uses
+    for dtype in (jnp.bfloat16,):
         try:
             all_ok = run_fused_attention(dtype) and all_ok
         except Exception as e:  # noqa: BLE001

@@ -52,10 +52,12 @@ def test_fused_mha_grads_match_xla():
 
 
 def test_fusable_gate():
-    assert fusable((4, 16, 1024, 64), None)
-    assert fusable((1, 8, 128, 128), None)
-    assert not fusable((4, 16, 1024, 64), jnp.zeros(()))   # bias
-    assert not fusable((4, 2, 16, 1024, 64), None)         # 5D (windowed)
-    assert not fusable((4, 16, 196, 64), None)             # non-128 N
-    assert not fusable((4, 16, 4096, 64), None)            # VMEM cliff
-    assert not fusable((4, 16, 1024, 96), None)            # lane-illegal D
+    bf = jnp.bfloat16
+    assert fusable((4, 16, 1024, 64), bf, None)
+    assert fusable((1, 8, 128, 128), bf, None)
+    assert not fusable((4, 16, 1024, 64), jnp.float32, None)   # fp32 -> XLA
+    assert not fusable((4, 16, 1024, 64), bf, jnp.zeros(()))   # bias
+    assert not fusable((4, 2, 16, 1024, 64), bf, None)         # 5D (windowed)
+    assert not fusable((4, 16, 196, 64), bf, None)             # non-128 N
+    assert not fusable((4, 16, 4096, 64), bf, None)            # VMEM cliff
+    assert not fusable((4, 16, 1024, 96), bf, None)            # lane-illegal D

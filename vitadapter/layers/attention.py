@@ -64,7 +64,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     """
     from vitadapter.ops.attention_pallas import fusable, fused_mha
 
-    if (jax.default_backend() == "tpu" and fusable(q.shape, bias)
+    if (jax.default_backend() == "tpu" and fusable(q.shape, q.dtype, bias)
             and _single_device_context()):
         return fused_mha(q, k, v, scale)
     attn = jnp.einsum("...hqd,...hkd->...hqk", q, k,

@@ -33,10 +33,14 @@ MAX_FUSED_N = 2048
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def fusable(q_shape, bias) -> bool:
+def fusable(q_shape, dtype, bias) -> bool:
     """True when the fused whole-row kernel applies: 4D (B, H, N, D), no
-    bias, N a multiple of 128 within the VMEM budget, lane-legal D."""
-    if bias is not None or len(q_shape) != 4:
+    bias, N a multiple of 128 within the VMEM budget, lane-legal D, and
+    bf16 operands — the production mixed-precision path. fp32 stays on XLA:
+    the fp32 HIGHEST-precision kernel compiles for 15-25 minutes through
+    the axon remote compiler (measured) for a path no model uses, and fp32
+    parity oracles want XLA-exact numerics anyway."""
+    if bias is not None or len(q_shape) != 4 or dtype != jnp.bfloat16:
         return False
     N, D = q_shape[2], q_shape[3]
     return (N % 128 == 0 and 128 <= N <= MAX_FUSED_N

@@ -686,6 +686,7 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
     P = sampling_locations.shape[4]
     BM = B * M
     segs = _norm_segments(Lq, query_segments)
+    T = SEG_TILE if segs else _pick_tile(Lq)
 
     locf = sampling_locations.astype(jnp.float32)
     hw = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
@@ -700,7 +701,20 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
     xq = to_bmq(xy[..., 0])
     yq = to_bmq(xy[..., 1])
     aq = to_bmq(att)
+    if segs:
+        yq = _pad_segments(yq, segs, T, cv=-7)
+        xq = _pad_segments(xq, segs, T, cv=-7)
+        aq = _pad_segments(aq, segs, T)
+        nq_pad = yq.shape[1]
+    else:
+        nq_pad = -(-Lq // T) * T
+        if nq_pad != Lq:
+            pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+            yq = jnp.pad(yq, pad, constant_values=-7)
+            xq = jnp.pad(xq, pad, constant_values=-7)
+            aq = jnp.pad(aq, pad)
     vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+    bounds = _row_bounds(yq, spatial_shapes, T)
 
     # head folding: G consecutive (batch*head) rows per program (see
     # `_fwd_ml_kernel`). Capped by a VMEM estimate — the value block is
@@ -713,68 +727,31 @@ def _forward_ml(value, spatial_shapes: SpatialShapes, sampling_locations,
                      or 2 * G * S * lanes * value.dtype.itemsize
                      > ML_FOLD_VMEM):
         G -= 1
-    vm_g = vm.reshape(BM // G, G, S, D)
 
-    def one_call(ys, xs, as_, T):
-        """One pallas dispatch over a query slice at tile size T."""
-        nq = ys.shape[1]
-        nq_pad = -(-nq // T) * T
-        if nq_pad != nq:
-            pad = ((0, 0), (0, nq_pad - nq), (0, 0))
-            ys = jnp.pad(ys, pad, constant_values=-7)
-            xs = jnp.pad(xs, pad, constant_values=-7)
-            as_ = jnp.pad(as_, pad)
-        bounds = _row_bounds(ys, spatial_shapes, T)
-        out = pl.pallas_call(
-            partial(_fwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T,
-                    P=P, chunk=ML_CHUNK, G=G),
-            out_shape=jax.ShapeDtypeStruct((BM // G, G, nq_pad, D),
-                                           jnp.float32),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(BM // G, nq_pad // T),
-                in_specs=[
-                    pl.BlockSpec((1, G, T, L * P),
-                                 lambda b, t, *_: (b, 0, t, 0)),
-                    pl.BlockSpec((1, G, T, L * P),
-                                 lambda b, t, *_: (b, 0, t, 0)),
-                    pl.BlockSpec((1, G, T, L * P),
-                                 lambda b, t, *_: (b, 0, t, 0)),
-                    pl.BlockSpec((1, G, S, D), lambda b, t, *_: (b, 0, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, G, T, D),
-                                       lambda b, t, *_: (b, 0, t, 0)),
-            ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-                vmem_limit_bytes=VMEM_LIMIT),
-        )(bounds, ys.reshape(BM // G, G, nq_pad, L * P),
-          xs.reshape(BM // G, G, nq_pad, L * P),
-          as_.reshape(BM // G, G, nq_pad, L * P),
-          vm_g)
-        return out.reshape(BM, nq_pad, D)[:, :nq]
-
-    if segs:
-        # PER-SEGMENT tile sizes: a tile of T queries spans T/W_s raster
-        # rows of its own level but 2x/4x that many rows of every FINER
-        # level, so coarse-level query tiles at the global tile size sweep
-        # near-full-width bands of the fine levels — measured as ~40% of
-        # the kernel's VPU work at pixel-decoder geometry. Scaling T down
-        # with the segment size keeps cross-level bands narrow; each
-        # segment runs as its own dispatch (value block cost unchanged —
-        # every program DMAs the full multi-level value either way).
-        seg_max = max(segs)
-        outs = []
-        start = 0
-        for seg in segs:
-            # scale T with the segment's share, snapped to /64 (sublane-legal)
-            T = max(64, min(SEG_TILE, (SEG_TILE * seg // seg_max) // 64 * 64))
-            sl = slice(start, start + seg)
-            outs.append(one_call(yq[:, sl], xq[:, sl], aq[:, sl], T))
-            start += seg
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    else:
-        out = one_call(yq, xq, aq, _pick_tile(Lq))
+    out = pl.pallas_call(
+        partial(_fwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
+                chunk=ML_CHUNK, G=G),
+        out_shape=jax.ShapeDtypeStruct((BM // G, G, nq_pad, D), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BM // G, nq_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+                pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+                pl.BlockSpec((1, G, T, L * P), lambda b, t, *_: (b, 0, t, 0)),
+                pl.BlockSpec((1, G, S, D), lambda b, t, *_: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, G, T, D), lambda b, t, *_: (b, 0, t, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(bounds, yq.reshape(BM // G, G, nq_pad, L * P),
+      xq.reshape(BM // G, G, nq_pad, L * P),
+      aq.reshape(BM // G, G, nq_pad, L * P),
+      vm.reshape(BM // G, G, S, D))
+    out = out.reshape(BM, nq_pad, D)
+    out = _unpad_segments(out, segs, T) if segs else out[:, :Lq]
     out = out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, M * D).astype(value.dtype)
 
@@ -1355,6 +1332,7 @@ def _backward_ml(spatial_shapes, value, loc, attn, g, query_segments=None):
     P = loc.shape[4]
     BM = B * M
     segs = _norm_segments(Lq, query_segments)
+    T = SEG_TILE if segs else _pick_tile(Lq)
     LP = L * P
 
     locf = loc.astype(jnp.float32)
@@ -1371,67 +1349,50 @@ def _backward_ml(spatial_shapes, value, loc, attn, g, query_segments=None):
     aq = to_bmq(att)
     g4 = g.reshape(B, Lq, M, D).astype(jnp.float32)
     gq = jnp.moveaxis(g4, 2, 1).reshape(BM, Lq, D)
-    vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
-
-    def one_call(ys, xs, as_, gs, T):
-        nq = ys.shape[1]
-        nq_pad = -(-nq // T) * T
-        if nq_pad != nq:
-            pad = ((0, 0), (0, nq_pad - nq), (0, 0))
-            ys = jnp.pad(ys, pad, constant_values=-7)
-            xs = jnp.pad(xs, pad, constant_values=-7)
-            as_ = jnp.pad(as_, pad)
-            gs = jnp.pad(gs, pad)
-        bounds = _row_bounds(ys, spatial_shapes, T)
-        dv, dg = pl.pallas_call(
-            partial(_bwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T,
-                    P=P, chunk=BWD_ML_CHUNK),
-            out_shape=(jax.ShapeDtypeStruct((BM, S, D), jnp.float32),
-                       jax.ShapeDtypeStruct((BM, nq_pad, 3 * LP),
-                                            jnp.float32)),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(BM, nq_pad // T),
-                in_specs=[
-                    pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
-                    pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
-                    pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
-                    pl.BlockSpec((1, T, D), lambda b, t, *_: (b, t, 0)),
-                    pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
-                ],
-                out_specs=(pl.BlockSpec((1, S, D),
-                                        lambda b, t, *_: (b, 0, 0)),
-                           pl.BlockSpec((1, T, 3 * LP),
-                                        lambda b, t, *_: (b, t, 0))),
-                scratch_shapes=[pltpu.VMEM((T, 3 * LP), jnp.float32)],
-            ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-                vmem_limit_bytes=VMEM_LIMIT),
-        )(bounds, ys, xs, as_, gs, vm)
-        return dv, dg[:, :nq]
-
     if segs:
-        # per-segment tile sizes, mirroring `_forward_ml` (narrow
-        # cross-level bands for coarse-level query tiles); dv contributions
-        # sum across the segment dispatches
-        seg_max = max(segs)
-        dv = None
-        dgs = []
-        start = 0
-        for seg in segs:
-            T = max(64, min(SEG_TILE, (SEG_TILE * seg // seg_max) // 64 * 64))
-            sl = slice(start, start + seg)
-            dv_s, dg_s = one_call(yq[:, sl], xq[:, sl], aq[:, sl],
-                                  gq[:, sl], T)
-            dv = dv_s if dv is None else dv + dv_s
-            dgs.append(dg_s)
-            start += seg
-        dg = dgs[0] if len(dgs) == 1 else jnp.concatenate(dgs, axis=1)
+        yq = _pad_segments(yq, segs, T, cv=-7)
+        xq = _pad_segments(xq, segs, T, cv=-7)
+        aq = _pad_segments(aq, segs, T)
+        gq = _pad_segments(gq, segs, T)
+        nq_pad = yq.shape[1]
     else:
-        dv, dg = one_call(yq, xq, aq, gq, _pick_tile(Lq))
+        nq_pad = -(-Lq // T) * T
+        if nq_pad != Lq:
+            pad = ((0, 0), (0, nq_pad - Lq), (0, 0))
+            yq = jnp.pad(yq, pad, constant_values=-7)
+            xq = jnp.pad(xq, pad, constant_values=-7)
+            aq = jnp.pad(aq, pad)
+            gq = jnp.pad(gq, pad)
+    vm = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
+    bounds = _row_bounds(yq, spatial_shapes, T)
+
+    dv, dg = pl.pallas_call(
+        partial(_bwd_ml_kernel, shapes=tuple(spatial_shapes), D=D, T=T, P=P,
+                chunk=BWD_ML_CHUNK),
+        out_shape=(jax.ShapeDtypeStruct((BM, S, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BM, nq_pad, 3 * LP), jnp.float32)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BM, nq_pad // T),
+            in_specs=[
+                pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, LP), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, T, D), lambda b, t, *_: (b, t, 0)),
+                pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
+            ],
+            out_specs=(pl.BlockSpec((1, S, D), lambda b, t, *_: (b, 0, 0)),
+                       pl.BlockSpec((1, T, 3 * LP),
+                                    lambda b, t, *_: (b, t, 0))),
+            scratch_shapes=[pltpu.VMEM((T, 3 * LP), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(bounds, yq, xq, aq, gq, vm)
 
     dv = dv.reshape(B, M, S, D).transpose(0, 2, 1, 3).astype(value.dtype)
+    dg = (_unpad_segments(dg, segs, T) if segs else dg[:, :Lq])
     dg = dg.reshape(B, M, Lq, 3 * LP)
     dg = jnp.moveaxis(dg, 1, 2)                        # (B, Lq, M, 3LP)
     dattn_raw = dg[..., :LP].reshape(B, Lq, M, L, P)
