@@ -17,6 +17,7 @@ vs_baseline tracks our own progress.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -155,10 +156,17 @@ def main():
         try:
             s_step = measure_train(tb)
         except Exception as e:  # noqa: BLE001 — e.g. OOM at large batch
-            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" \
-                    not in str(e):
-                raise
-            break
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Out of memory" in str(e))
+            if oom or train:
+                # OOM ends the sweep; a transient failure on a LATER batch
+                # (fresh multi-minute compile through a flaky tunnel) must
+                # not discard the batches already measured — report what we
+                # have rather than retry the whole bench.
+                print(f"train batch {tb} skipped: {type(e).__name__}",
+                      file=sys.stderr)
+                break
+            raise
         train[str(tb)] = {
             "s_per_step": round(s_step, 4),
             "img_per_s": round(tb / s_step, 3),
@@ -199,6 +207,9 @@ if __name__ == "__main__":
             transient = ("remote_compile" in str(e)
                          or "UNAVAILABLE" in str(e)
                          or "Unable to initialize backend" in str(e))
+            print(f"bench attempt {_attempt} failed "
+                  f"({'transient' if transient else 'fatal'}): "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
             if not transient or _attempt == 3:
                 raise
             time.sleep(240)
