@@ -114,29 +114,35 @@ def main():
             method=lambda m, xx, train: m.decode_head(m.backbone(xx),
                                                       train=train)))(
         state.params, batch["image"], rng)
-    cls_list = [jax.lax.stop_gradient(c) for c in cls_list]
-    mask_list = [jax.lax.stop_gradient(m) for m in mask_list]
+    # Pass the head outputs as explicit jit ARGUMENTS: closure-captured
+    # device arrays become jaxpr constants, and the axon tunnel re-ships
+    # constant buffers on every execution (measured: the 10-layer stacked
+    # mask logits turned a ~300 ms loss graph into a 100+ s one).
+    cls_stack = jnp.stack(cls_list)
+    mask_stack = jnp.stack(mask_list)
+    L = cls_stack.shape[0]
 
-    def loss_only(cl0, r):
-        cl = [cl0] + cls_list[1:]
+    def loss_only(cs, ms, lbl, r):
         total, _ = ml.mask2former_loss(
-            r, cl, mask_list, batch["label"], num_classes=150,
+            r, [cs[i] for i in range(L)], [ms[i] for i in range(L)],
+            lbl, num_classes=150,
             max_instances=60, num_points=args.num_points)
         return total
 
-    ms_loss = timed(jax.jit(loss_only), (cls_list[0], rng))
+    ms_loss = timed(jax.jit(loss_only),
+                    (cls_stack, mask_stack, batch["label"], rng))
     print(f"loss only (all layers)   {ms_loss:8.1f} ms")
 
-    def assign_only(cl0, r):
-        gt_labels, gt_valid = ml.present_classes(batch["label"], 150, 60)
-        cl = [cl0] + cls_list[1:]
+    def assign_only(cs, ms, lbl, r):
+        gt_labels, gt_valid = ml.present_classes(lbl, 150, 60)
         out = ml._assign_all_layers(
-            r, jnp.stack(cl), jnp.stack(mask_list), batch["label"],
+            r, cs, ms, lbl,
             gt_labels, gt_valid, num_points=args.num_points,
             cost_cls=2.0, cost_mask=5.0, cost_dice=5.0)
         return out.astype(jnp.float32)
 
-    ms_assign = timed(jax.jit(assign_only), (cls_list[0], rng))
+    ms_assign = timed(jax.jit(assign_only),
+                      (cls_stack, mask_stack, batch["label"], rng))
     print(f"assignment (cost+LAP)    {ms_assign:8.1f} ms")
 
     if ms_fwd is not None:
